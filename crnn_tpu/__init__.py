@@ -1,0 +1,39 @@
+"""crnn_tpu — a TPU-native JAX framework for Chemical Reaction Neural Networks.
+
+A ground-up rebuild of the capabilities of DENG-MIT/CRNN (Julia research
+scripts built on DifferentialEquations.jl) as a single coherent library:
+
+- ``crnn_tpu.ode``        adaptive explicit + implicit ODE solvers (Tsit5,
+                          Rosenbrock23, TRBDF2, Kvaerno3) built on
+                          ``lax.scan``/``lax.while_loop`` with fixed shapes,
+                          batched (vmap-able) per-lane step control, and
+                          dense ``saveat`` output.
+- ``crnn_tpu.models``     the CRNN right-hand-side family (isothermal,
+                          Arrhenius, extended-Arrhenius, reversible,
+                          hybrid-MLP) as pure functions.
+- ``crnn_tpu.transforms`` the parameter-vector -> physical-weight transforms
+                          ("p2vec" variants) and pruning masks.
+- ``crnn_tpu.data``       synthetic truth-model generators, noise model,
+                          normalisation, LHS sampling, CSV loaders.
+- ``crnn_tpu.train``      vmapped multi-experiment losses, optax training
+                          loops, Levenberg-Marquardt finisher.
+- ``crnn_tpu.uq``         SVGD Bayesian posterior sampling over parameters.
+- ``crnn_tpu.infra``      config, checkpointing, metrics, plotting, mesh
+                          and sharding utilities.
+- ``crnn_tpu.ops``        Pallas TPU kernels for the hot paths.
+
+Design rules (everywhere): pure functions, explicit parameters (no globals),
+static shapes, ``jit``/``vmap``/``grad``-compatible control flow only.
+"""
+
+__version__ = "0.1.0"
+
+from crnn_tpu.ode import (  # noqa: F401
+    ODESolution,
+    odesolve,
+    Tsit5,
+    Rosenbrock23,
+    TRBDF2,
+    Kvaerno3,
+    AutoSwitch,
+)
