@@ -1,0 +1,162 @@
+"""case2: Arrhenius temperature-dependent CRNN (biodiesel, 6 species + T).
+
+TPU-native rebuild of /root/reference/case2/case2.jl: 30 experiments at
+random temperatures T in [323, 343] K; the CRNN learns logA, Ea and
+reaction orders through the feature vector [log X; -1/(R*T)]; stiff-capable
+AutoTsit5(Rosenbrock23) solve; ExpDecay∘ADAMW optimizer. Variants:
+- `i_obs` subset reproduces case2_missing.jl (species 3 unobserved,
+  i_obs = [1,2,4,5,6] -> 0-based [0,1,3,4,5]).
+- `p_cutoff` reproduces case2_pruning.jl (zero |w_out| < cutoff).
+
+This case is the primary wall-clock benchmark workload (BASELINE.md).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+
+from crnn_tpu.cases.base import CaseSetup, run_case
+from crnn_tpu.data.generate import generate_dataset
+from crnn_tpu.data.truth import CASE2_EA, CASE2_LOGA, case2_arrhenius, case2_truth
+from crnn_tpu.models.crnn import make_crnn_arrhenius_rhs
+from crnn_tpu.ode import AutoSwitch, Rosenbrock23, Tsit5, get_solver, odesolve
+from crnn_tpu.train.loop import Trainer
+from crnn_tpu.train.loss import make_trajectory_loss
+from crnn_tpu.train.optimizers import expdecay_adamw
+from crnn_tpu.transforms.p2vec import init_params_case2, p2vec_case2
+from crnn_tpu.transforms.pruning import prune_case2_params
+
+
+@dataclass
+class Case2Config:
+    # reference constants: case2/case2.jl:14-34
+    ns: int = 6
+    nr: int = 3
+    datasize: int = 50
+    tstep: float = 1.0
+    n_exp_train: int = 20
+    n_exp_test: int = 10
+    noise: float = 0.05
+    atol: float = 1e-6
+    rtol: float = 1e-3
+    lb: float = 1e-6
+    ub: float = 10.0
+    lr0: float = 5e-3
+    lr_decay: float = 0.5
+    lr_decay_epochs: int = 500
+    lr_floor: float = 1e-4
+    weight_decay: float = 1e-6
+    i_obs: Optional[Sequence[int]] = None   # case2_missing: (0,1,3,4,5)
+    p_cutoff: float = 0.0                   # case2_pruning: 0.01
+    seed: int = 1234
+    max_steps: int = 512
+    solver: str = "auto_tsit5_rosenbrock23"
+    mode: str = "batch"
+    dtype: str = "float32"
+    missing_u0: bool = False                # case2_missing u0 tweaks
+
+    @property
+    def n_exp(self) -> int:
+        return self.n_exp_train + self.n_exp_test
+
+
+def build(cfg: Case2Config = Case2Config()) -> CaseSetup:
+    dtype = jnp.dtype(cfg.dtype)
+    key = jax.random.PRNGKey(cfg.seed)
+    k_u0, k_noise, k_p = jax.random.split(key, 3)
+
+    # -- data (case2/case2.jl:62-83): u0[:2] ~ U(0,1)*2+0.2, mid species 0,
+    #    T ~ U(0,1)*20+323; per-experiment Arrhenius truth rate constants.
+    u0 = jax.random.uniform(k_u0, (cfg.n_exp, cfg.ns + 1), dtype)
+    u0 = u0.at[:, :2].set(u0[:, :2] * 2.0 + 0.2)
+    u0 = u0.at[:, 2:cfg.ns].set(0.0)
+    u0 = u0.at[:, cfg.ns].set(u0[:, cfg.ns] * 20.0 + 323.0)
+    if cfg.missing_u0:
+        # case2_missing.jl:70-72: some experiments begin mid-cascade
+        u0 = u0.at[: cfg.n_exp // 3, 2].set(0.2)
+    k_per_exp = jax.vmap(
+        lambda temp: case2_arrhenius(CASE2_LOGA.astype(dtype),
+                                     CASE2_EA.astype(dtype), temp)
+    )(u0[:, -1])
+
+    t1 = float(cfg.datasize * cfg.tstep)
+    saveat = jnp.linspace(0.0, t1, cfg.datasize, dtype=dtype)
+    dataset = generate_dataset(
+        k_noise, case2_truth, Rosenbrock23(), u0, k_per_exp,
+        0.0, t1, saveat, rtol=1e-6, atol=1e-9, noise=cfg.noise,
+        obs_dim=cfg.ns, scale_mode="max_min", scale_lb=cfg.lb,
+    )
+
+    rhs = make_crnn_arrhenius_rhs(cfg.lb, cfg.ub)
+    solver = get_solver(cfg.solver)
+
+    def weights_fn(p):
+        if cfg.p_cutoff > 0:
+            p = prune_case2_params(p, cfg.ns, cfg.nr, cfg.p_cutoff)
+        return p2vec_case2(p, cfg.ns, cfg.nr)
+
+    def predict_from_u0(p, u0_i):
+        w = weights_fn(p)
+        sol = odesolve(
+            rhs, solver, u0_i, 0.0, t1, saveat, args=w,
+            rtol=cfg.rtol, atol=cfg.atol, max_steps=cfg.max_steps,
+        )
+        return jnp.clip(sol.ys[:, : cfg.ns], -cfg.ub, cfg.ub)
+
+    loss_fn = make_trajectory_loss("mae", yscale=dataset.yscale,
+                                   i_obs=cfg.i_obs)
+
+    def loss_i_exp(p, i_exp, mask):
+        pred = predict_from_u0(p, dataset.u0[i_exp])
+        return loss_fn(pred, dataset.ys[i_exp], mask)
+
+    updates_per_epoch = cfg.n_exp_train if cfg.mode == "sequential" else 1
+    trainer = Trainer(
+        loss_i_exp=loss_i_exp,
+        optimizer=expdecay_adamw(
+            cfg.lr0, cfg.lr_decay, cfg.lr_decay_epochs * updates_per_epoch,
+            cfg.lr_floor, weight_decay=cfg.weight_decay,
+        ),
+        n_exp_train=cfg.n_exp_train,
+        n_exp=cfg.n_exp,
+        n_save=cfg.datasize,
+        mode=cfg.mode,
+    )
+
+    return CaseSetup(
+        name="case2",
+        trainer=trainer,
+        init_params=init_params_case2(k_p, cfg.ns, cfg.nr, dtype=dtype),
+        predict=jax.jit(lambda p, i: predict_from_u0(p, dataset.u0[i])),
+        weights_fn=weights_fn,
+        dataset=dataset,
+        species=["TG", "ROH", "DG", "MG", "GL", "R'CO2R"],
+    )
+
+
+if __name__ == "__main__":
+    import argparse
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--epochs", type=int, default=1000)
+    ap.add_argument("--mode", default="batch")
+    ap.add_argument("--solver", default="auto_tsit5_rosenbrock23")
+    ap.add_argument("--missing", action="store_true",
+                    help="case2_missing variant")
+    ap.add_argument("--p-cutoff", type=float, default=0.0,
+                    help="case2_pruning variant")
+    ap.add_argument("--restart", action="store_true")
+    ap.add_argument("--out", default="runs")
+    args = ap.parse_args()
+    cfg = Case2Config(mode=args.mode, solver=args.solver,
+                      p_cutoff=args.p_cutoff)
+    if args.missing:
+        cfg.i_obs = (0, 1, 3, 4, 5)
+        cfg.missing_u0 = True
+    setup = build(cfg)
+    run_case(setup, n_epoch=args.epochs, out_dir=args.out,
+             restart=args.restart)

@@ -1,0 +1,31 @@
+"""Runtime setup helpers: compilation cache, dtype policy, device info."""
+
+from __future__ import annotations
+
+import os
+
+import jax
+
+_CACHE_INITIALISED = False
+
+
+def setup_cache(path: str = None) -> None:
+    """Enable the persistent compilation cache (compiles here are remote and
+    slow — caching across processes matters for the case runners/bench)."""
+    global _CACHE_INITIALISED
+    if _CACHE_INITIALISED:
+        return
+    path = path or os.environ.get(
+        "CRNN_TPU_CACHE", os.path.join(os.path.expanduser("~"), ".crnn_tpu_jax_cache")
+    )
+    try:
+        jax.config.update("jax_compilation_cache_dir", path)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass  # older jax without these flags
+    _CACHE_INITIALISED = True
+
+
+def enable_x64() -> None:
+    jax.config.update("jax_enable_x64", True)

@@ -1,0 +1,93 @@
+"""Data-parallel training over a device mesh via shard_map.
+
+The experiments (and SVGD particles) dimension is the framework's batch
+axis. Each device solves its shard of experiments, computes the local mean
+loss/gradient, and a ``pmean`` over the mesh axis (lowered to an ICI
+all-reduce by XLA) yields the global gradient; parameters stay replicated.
+This replaces nothing in the reference (it has no distributed backend,
+SURVEY.md §2.2) — it is the scaling path for batch counts beyond one chip.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+import optax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.experimental.shard_map import shard_map
+
+
+def make_dp_train_step(
+    loss_on_data: Callable,   # (params, u0_i, ys_i, mask_i) -> scalar
+    optimizer: optax.GradientTransformation,
+    mesh: Mesh,
+    axis_name: str = "exp",
+) -> Callable:
+    """Build a jitted data-parallel train step.
+
+    step(params, opt_state, u0s, yss, masks, weights) -> (params, opt_state,
+    loss, grad_norm). Batch arrays must be sharded (or shardable) on axis 0
+    over the mesh; ``weights`` carries 0 for padded lanes.
+    """
+
+    def local_loss_and_grad(params, u0_l, ys_l, mask_l, wgt_l):
+        def weighted_loss(p):
+            losses = jax.vmap(loss_on_data, in_axes=(None, 0, 0, 0))(
+                p, u0_l, ys_l, mask_l
+            )
+            return jnp.sum(losses * wgt_l), jnp.sum(wgt_l)
+
+        def mean_loss(p):
+            s, n = weighted_loss(p)
+            # global weighted mean: psum both numerator and denominator
+            s = jax.lax.psum(s, axis_name)
+            n = jax.lax.psum(n, axis_name)
+            return s / n
+
+        loss, g = jax.value_and_grad(mean_loss)(params)
+        return loss, g
+
+    smapped = shard_map(
+        local_loss_and_grad,
+        mesh=mesh,
+        in_specs=(P(), P(axis_name), P(axis_name), P(axis_name), P(axis_name)),
+        out_specs=(P(), P()),
+        check_vma=False,
+    )
+
+    @partial(jax.jit, donate_argnums=(0, 1))
+    def step(params, opt_state, u0s, yss, masks, weights):
+        loss, g = smapped(params, u0s, yss, masks, weights)
+        grad_norm = optax.global_norm(g)
+        updates, opt_state = optimizer.update(g, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, loss, grad_norm
+
+    return step
+
+
+def make_dp_eval(
+    loss_on_data: Callable,
+    mesh: Mesh,
+    axis_name: str = "exp",
+) -> Callable:
+    """Batched per-experiment loss evaluation, sharded over the mesh.
+    Returns eval(params, u0s, yss, masks) -> (n_exp,) losses (replicated)."""
+
+    def local_eval(params, u0_l, ys_l, mask_l):
+        losses = jax.vmap(loss_on_data, in_axes=(None, 0, 0, 0))(
+            params, u0_l, ys_l, mask_l
+        )
+        return losses
+
+    smapped = shard_map(
+        local_eval,
+        mesh=mesh,
+        in_specs=(P(), P(axis_name), P(axis_name), P(axis_name)),
+        out_specs=P(axis_name),
+        check_vma=False,
+    )
+    return jax.jit(smapped)

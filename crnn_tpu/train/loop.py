@@ -1,0 +1,150 @@
+"""Training loop: jitted epochs over vmapped experiment losses.
+
+Rebuilds the reference's epoch loop (case2/case2.jl:192-207):
+
+    for epoch: for i_exp in randperm(n_train): grad -> clip -> update!
+               then evaluate the loss of EVERY experiment; callback.
+
+Two execution modes, both fully on-device:
+
+- ``mode='sequential'`` — faithful to the reference's per-experiment SGD
+  (batch size = 1 experiment): a ``lax.scan`` over the shuffled experiment
+  indices, one optimizer update per experiment. Same optimisation dynamics,
+  but compiled: each update's solve+gradient runs as one XLA program.
+- ``mode='batch'`` — TPU-first: ONE update per epoch on the mean loss over
+  all training experiments, whose per-experiment solves run batched under
+  ``vmap`` (the 10x-throughput design of SURVEY.md §2.2 "Training loop").
+
+The full-dataset evaluation pass (reference re-solves all experiments
+serially every epoch, case2.jl:199-201) is always a single vmapped solve.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Any, Callable, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from crnn_tpu.train.loss import prefix_mask
+
+
+class TrainState(NamedTuple):
+    params: Any
+    opt_state: Any
+    epoch: jnp.ndarray
+    key: jnp.ndarray
+
+
+class EpochMetrics(NamedTuple):
+    loss_train: jnp.ndarray
+    loss_val: jnp.ndarray
+    grad_norm: jnp.ndarray
+    loss_exp: jnp.ndarray  # (n_exp,) per-experiment losses
+
+
+@dataclass
+class Trainer:
+    """loss_i_exp(params, i_exp, horizon_mask) -> scalar experiment loss."""
+
+    loss_i_exp: Callable
+    optimizer: optax.GradientTransformation
+    n_exp_train: int
+    n_exp: int
+    n_save: int
+    mode: str = "sequential"
+    # stochastic prefix horizons: (min_sample, max_sample) or None
+    horizon_range: Optional[Tuple[int, int]] = None
+    # experiments visited by the update loop; defaults to n_exp_train.
+    # case3 updates on ALL experiments incl. the validation split
+    # (case3/case3.jl:263) — set n_exp_update=n_exp to mirror that quirk.
+    n_exp_update: Optional[int] = None
+
+    def init(self, params, seed: int = 0) -> TrainState:
+        return TrainState(
+            params=params,
+            opt_state=self.optimizer.init(params),
+            epoch=jnp.asarray(0, jnp.int32),
+            key=jax.random.PRNGKey(seed),
+        )
+
+    # -- internals ----------------------------------------------------------
+
+    def _sample_masks(self, key, n: int, dtype):
+        if self.horizon_range is None:
+            return jnp.ones((n, self.n_save), dtype)
+        lo, hi = self.horizon_range
+        samples = jax.random.randint(key, (n,), lo, hi + 1)
+        return jax.vmap(lambda s: prefix_mask(self.n_save, s, dtype))(samples)
+
+    def _epoch(self, state: TrainState) -> Tuple[TrainState, EpochMetrics]:
+        key, k_perm, k_hor = jax.random.split(state.key, 3)
+        dtype = jnp.result_type(jax.tree.leaves(state.params)[0].dtype)
+        n_upd = self.n_exp_update or self.n_exp_train
+        perm = jax.random.permutation(k_perm, n_upd)
+        masks = self._sample_masks(k_hor, n_upd, dtype)
+
+        if self.mode == "sequential":
+            def step(carry, xs):
+                params, opt_state = carry
+                idx, mask = xs
+                loss, g = jax.value_and_grad(self.loss_i_exp)(params, idx, mask)
+                gnorm = optax.global_norm(g)
+                updates, opt_state = self.optimizer.update(g, opt_state, params)
+                params = optax.apply_updates(params, updates)
+                return (params, opt_state), gnorm
+
+            (params, opt_state), gnorms = jax.lax.scan(
+                step, (state.params, state.opt_state), (perm, masks)
+            )
+            grad_norm = jnp.mean(gnorms)
+        elif self.mode == "batch":
+            def mean_loss(params):
+                losses = jax.vmap(
+                    lambda i, m: self.loss_i_exp(params, i, m)
+                )(perm, masks)
+                return jnp.mean(losses)
+
+            _, g = jax.value_and_grad(mean_loss)(state.params)
+            grad_norm = optax.global_norm(g)
+            updates, opt_state = self.optimizer.update(
+                g, state.opt_state, state.params
+            )
+            params = optax.apply_updates(state.params, updates)
+        else:
+            raise ValueError(f"unknown mode {self.mode!r}")
+
+        # full evaluation pass: every experiment, full horizon, batched
+        eval_mask = jnp.ones((self.n_save,), dtype)
+        loss_exp = jax.vmap(
+            lambda i: self.loss_i_exp(params, i, eval_mask)
+        )(jnp.arange(self.n_exp))
+        loss_train = jnp.mean(loss_exp[: self.n_exp_train])
+        loss_val = jnp.mean(loss_exp[self.n_exp_train:])
+
+        new_state = TrainState(params, opt_state, state.epoch + 1, key)
+        return new_state, EpochMetrics(loss_train, loss_val, grad_norm, loss_exp)
+
+    # -- public API ----------------------------------------------------------
+
+    def epoch_fn(self) -> Callable:
+        """The jitted (state) -> (state, metrics) single-epoch function."""
+        return jax.jit(self._epoch)
+
+    def fit(self, state: TrainState, n_epochs: int,
+            callback: Optional[Callable] = None,
+            callback_every: int = 1) -> Tuple[TrainState, dict]:
+        """Run n_epochs; callback(epoch, state, metrics) on the host every
+        ``callback_every`` epochs (the reference's cb/cbi layer)."""
+        step = self.epoch_fn()
+        history = {"loss_train": [], "loss_val": [], "grad_norm": []}
+        for e in range(n_epochs):
+            state, m = step(state)
+            history["loss_train"].append(float(m.loss_train))
+            history["loss_val"].append(float(m.loss_val))
+            history["grad_norm"].append(float(m.grad_norm))
+            if callback is not None and (e + 1) % callback_every == 0:
+                callback(e, state, m)
+        return state, history
