@@ -1,0 +1,98 @@
+"""Benchmark: case2 batched stiff solve+adjoint per-epoch wall-clock.
+
+Workload (BASELINE.md): case2 = 30 experiments x 50 timesteps, ns=6+T,
+nr=3, stiff-capable solve, full gradient through the solver — one epoch =
+gradient step over the 20 training experiments + loss evaluation of all 30
+experiments (exactly the reference's per-epoch work, case2/case2.jl:192-207).
+
+The reference publishes no timings (SURVEY.md §6), so the recorded
+``vs_baseline`` is the measured speedup of the TPU-native batched epoch
+over the reference's *execution pattern* — serial experiment-by-experiment
+dispatch of the same jitted solve+grad on the same chip. This isolates the
+framework's core claim (vmapped batching of the training loop); the serial
+Julia single-core baseline would only be slower than the serial pattern
+measured here.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+
+
+def main() -> None:
+    from crnn_tpu.cases.case2 import Case2Config, build
+
+    cfg = Case2Config(mode="batch", solver="rosenbrock23")
+    setup = build(cfg)
+    trainer = setup.trainer
+    state = trainer.init(setup.init_params)
+    step = trainer.epoch_fn()
+
+    # --- batched epoch (the framework path) -------------------------------
+    state, m = step(state)  # compile
+    m.loss_train.block_until_ready()
+    n_iters = 30
+    t0 = time.perf_counter()
+    for _ in range(n_iters):
+        state, m = step(state)
+    m.loss_train.block_until_ready()
+    batched_s = (time.perf_counter() - t0) / n_iters
+
+    # --- serial per-experiment pattern (the reference's loop shape) -------
+    ds = setup.dataset
+    import optax
+
+    loss_i = trainer.loss_i_exp
+    grad_i = jax.jit(jax.grad(loss_i))
+    loss_j = jax.jit(loss_i)
+    mask = jnp.ones((cfg.datasize,), ds.ys.dtype)
+    optimizer = trainer.optimizer
+    p = setup.init_params
+    opt_state = optimizer.init(p)
+    # compile both
+    grad_i(p, jnp.asarray(0), mask)[0].block_until_ready()
+    loss_j(p, jnp.asarray(0), mask).block_until_ready()
+
+    def serial_epoch(p, opt_state):
+        for i in range(cfg.n_exp_train):
+            g = grad_i(p, jnp.asarray(i), mask)
+            updates, opt_state = optimizer.update(g, opt_state, p)
+            p = optax.apply_updates(p, updates)
+        for i in range(cfg.n_exp):
+            loss_j(p, jnp.asarray(i), mask)
+        return p, opt_state
+
+    serial_update = jax.jit(
+        lambda p, o, i: (lambda g: (lambda u, o2: (optax.apply_updates(p, u), o2))(
+            *optimizer.update(g, o, p)))(jax.grad(loss_i)(p, i, mask))
+    )
+    serial_update(p, opt_state, jnp.asarray(0))[0].block_until_ready()
+
+    n_serial = 3
+    t0 = time.perf_counter()
+    for _ in range(n_serial):
+        pp, oo = p, opt_state
+        for i in range(cfg.n_exp_train):
+            pp, oo = serial_update(pp, oo, jnp.asarray(i))
+        for i in range(cfg.n_exp):
+            loss_j(pp, jnp.asarray(i), mask)
+    jax.block_until_ready(pp)
+    serial_s = (time.perf_counter() - t0) / n_serial
+
+    out = {
+        "metric": "case2 per-epoch wall-clock (batched stiff solve+grad, 30 exps x 50 steps)",
+        "value": round(batched_s * 1e3, 3),
+        "unit": "ms",
+        "vs_baseline": round(serial_s / batched_s, 2),
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

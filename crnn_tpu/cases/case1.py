@@ -21,7 +21,7 @@ from crnn_tpu.models.crnn import make_crnn_rhs
 from crnn_tpu.ode import Tsit5, odesolve
 from crnn_tpu.train.loop import Trainer
 from crnn_tpu.train.loss import make_trajectory_loss
-from crnn_tpu.train.optimizers import adamw_like
+from crnn_tpu.train.optimizers import adamw_like, expdecay_adamw
 from crnn_tpu.transforms.p2vec import init_params_case1, p2vec_case1
 from crnn_tpu.transforms.pruning import prune_case2_params
 
@@ -37,6 +37,10 @@ class Case1Config:
     n_exp_test: int = 10
     noise: float = 5e-2
     lr: float = 1e-3
+    lr_decay: float = 1.0          # 1.0 = constant lr (reference default)
+    lr_decay_epochs: int = 2000
+    lr_floor: float = 1e-4
+    grad_max: float = 0.0          # 0 = no clipping (reference default)
     weight_decay: float = 1e-8
     atol: float = 1e-5
     rtol: float = 1e-2
@@ -97,7 +101,17 @@ def build(cfg: Case1Config = Case1Config()) -> CaseSetup:
 
     trainer = Trainer(
         loss_i_exp=loss_i_exp,
-        optimizer=adamw_like(cfg.lr, weight_decay=cfg.weight_decay),
+        optimizer=(
+            adamw_like(cfg.lr, weight_decay=cfg.weight_decay,
+                       grad_max=cfg.grad_max or None)
+            if cfg.lr_decay >= 1.0
+            else expdecay_adamw(
+                cfg.lr, cfg.lr_decay,
+                cfg.lr_decay_epochs * (cfg.n_exp_train if cfg.mode == "sequential" else 1),
+                cfg.lr_floor, weight_decay=cfg.weight_decay,
+                grad_max=cfg.grad_max or None,
+            )
+        ),
         n_exp_train=cfg.n_exp_train,
         n_exp=cfg.n_exp,
         n_save=cfg.datasize,

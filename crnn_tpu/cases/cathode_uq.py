@@ -1,0 +1,224 @@
+"""Cathode NCM UQ: Bayesian CRNN posterior via SVGD particles.
+
+TPU-native rebuild of /root/reference/Cathode_NCM333_UQ/src_333/: a
+100-particle SVGD ensemble over the 17 Cathode kinetic parameters,
+warm-started from the deterministic optimum with physics-informed
+correlated lnA-Ea init (network.jl:26-46), per-experiment noise-normalised
+score gradients (dlnprob, network.jl:222-260), and replicate-curve MSE
+likelihood (network.jl:262-275).
+
+TPU-first redesign: the reference evaluates the 100 particle gradients
+SERIALLY per experiment (network.jl:227); here one ``vmap`` over particles
+(optionally sharded over the device mesh) evaluates every particle's
+solve+gradient in a single XLA program per iteration.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from crnn_tpu.data.loaders import synthetic_dsc
+from crnn_tpu.models.crnn import cathode_hrr, make_cathode_rhs
+from crnn_tpu.ode import get_solver, odesolve
+from crnn_tpu.transforms.p2vec import init_params_cathode, p2vec_cathode
+from crnn_tpu.uq.posterior import ParticleHistory
+from crnn_tpu.uq.svgd import rbf_kernel
+
+
+@dataclass
+class CathodeUQConfig:
+    # mirrors Cathode_NCM333_UQ/config.yaml:27-33
+    num_particles: int = 100
+    stepsize: float = 2e-4
+    stepsize_decay: float = 0.95
+    stepsize_decay_epochs: int = 500
+    gap: int = 10
+    n_iters: int = 500
+    n_replicates: int = 100
+    noise_level: float = 0.05
+    init_jitter: float = 1e-3
+    lb: float = 1e-8
+    maxiters: int = 2048
+    rtol: float = 1e-4
+    solver: str = "trbdf2"
+    val_index: int = 3
+    seed: int = 0
+    data_dir: Optional[str] = None
+
+
+def correlated_init(key, p_opt: np.ndarray, cfg: CathodeUQConfig) -> jnp.ndarray:
+    """Particles in normalised coordinates (1.0 == deterministic optimum)
+    with correlated lnA-Ea perturbations per reaction (network.jl:26-46)."""
+    n, d = cfg.num_particles, 17
+    k_noise, k1, k2, k3 = jax.random.split(key, 4)
+    p_scales = p_opt[:17].copy()
+    slope = p_opt[17] * 10.0
+    p_scales[0:3] *= 20.0 * slope      # lnA scaling
+    p_scales[9:12] *= 100.0            # delH scaling
+    particles = jnp.ones((n, d)) + cfg.init_jitter * jax.random.normal(k_noise, (n, d))
+    # correlated lnA-Ea around the R1/R2/R3 peak temperatures
+    for i, (kk, peak_c) in enumerate(zip((k1, k2, k3), (270.0, 310.0, 430.0))):
+        rt = 8.314 * (peak_c + 273.15)
+        picker = jax.random.normal(kk, (n,))
+        ln_a = picker + p_scales[i]
+        ea = picker * rt / 1e5 + p_scales[3 + i]
+        particles = particles.at[:, i].set(ln_a / p_scales[i])
+        particles = particles.at[:, 3 + i].set(ea / p_scales[3 + i])
+    return particles, jnp.asarray(p_scales)
+
+
+def build_uq(cfg: CathodeUQConfig = CathodeUQConfig(),
+             p_opt: Optional[np.ndarray] = None):
+    """Returns (state dict, step_fn, extras). step_fn advances one SVGD
+    iteration over one experiment's likelihood."""
+    from crnn_tpu.infra.runtime import enable_x64
+
+    enable_x64()
+    dtype = jnp.float64
+    key = jax.random.PRNGKey(cfg.seed)
+    k_init, k_rep = jax.random.split(key)
+
+    # --- data: replicate noisy HRR curves per heating rate ----------------
+    dsc = synthetic_dsc(seed=cfg.seed, noise=0.0)
+    ts = jnp.asarray(dsc.ts, dtype)
+    masks = jnp.asarray(dsc.mask, dtype)
+    betas = jnp.asarray(dsc.betas, dtype)
+    clean = jnp.asarray(dsc.hrr, dtype)                      # (n_exp, n_t)
+    reps = clean[:, :, None] * (
+        1.0
+        + cfg.noise_level
+        * jax.random.normal(k_rep, clean.shape + (cfg.n_replicates,), dtype)
+    )                                                        # (n_exp, n_t, n_rep)
+    n_exp = ts.shape[0]
+    # per-experiment noise normaliser (dataset.jl:27-32: noise-scaled by
+    # heating-rate peak magnitude)
+    normalizer = jnp.asarray(
+        [float(cfg.noise_level * np.max(np.asarray(clean[i]))) for i in range(n_exp)],
+        dtype,
+    )
+
+    # --- deterministic optimum (warm start) --------------------------------
+    if p_opt is None:
+        p_opt = np.asarray(init_params_cathode(jax.random.PRNGKey(1), dtype))
+    particles, p_scales = correlated_init(k_init, np.asarray(p_opt), cfg)
+    particles = particles.astype(dtype)
+
+    rhs = make_cathode_rhs(cfg.lb)
+    solver = get_solver(cfg.solver)
+    u0 = jnp.zeros((3,), dtype).at[0].set(1.0)
+
+    def denormalise(p_norm):
+        """Normalised particle -> raw 18-vector for p2vec (slope appended)."""
+        raw17 = p_norm * p_scales / jnp.concatenate([
+            jnp.asarray([20.0 * p_opt[17] * 10.0] * 3),
+            jnp.ones(6),
+            jnp.asarray([100.0] * 3),
+            jnp.ones(5),
+        ])
+        return jnp.concatenate([raw17, jnp.asarray([p_opt[17]])])
+
+    def loss_one(p_norm, i_exp):
+        """Replicate-MSE likelihood loss (UQ network.jl:262-275)."""
+        w = p2vec_cathode(denormalise(p_norm))
+        t_row = ts[i_exp]
+        sol = odesolve(
+            rhs, solver, u0, t_row[0], t_row[-1], t_row,
+            args=(w, betas[i_exp]), rtol=cfg.rtol, atol=cfg.lb,
+            max_steps=cfg.maxiters, unroll="scan",
+        )
+        ys = jnp.clip(sol.ys, 0.0, 10.0)
+        pred = cathode_hrr(t_row, ys, w, betas[i_exp], cfg.lb)
+        err = (pred[:, None] - reps[i_exp]) ** 2 * masks[i_exp][:, None]
+        return jnp.sum(err) / cfg.n_replicates / jnp.sum(masks[i_exp])
+
+    grad_all = jax.vmap(jax.value_and_grad(loss_one), in_axes=(0, None))
+
+    @jax.jit
+    def svgd_iteration(particles, i_exp, stepsize):
+        losses, grads = grad_all(particles, i_exp)
+        # noise normalisation of the score (dlnprob, network.jl:234-250)
+        lnpgrad = -grads / normalizer[i_exp] ** 2
+        kxy, dxkxy = rbf_kernel(particles)
+        phi = (kxy @ lnpgrad + dxkxy) / particles.shape[0]
+        return particles + stepsize * phi, jnp.mean(losses)
+
+    extras = {
+        "ts": ts, "reps": reps, "masks": masks, "betas": betas,
+        "normalizer": normalizer, "loss_one": loss_one,
+        "denormalise": denormalise, "n_exp": n_exp, "p_scales": p_scales,
+    }
+    return particles, svgd_iteration, extras
+
+
+def run_uq(cfg: CathodeUQConfig = CathodeUQConfig(),
+           p_opt: Optional[np.ndarray] = None, verbose: bool = True):
+    """Full SVGD loop: per-iteration randperm over experiments, validation
+    loss tracked without updates (crnn_cathode.jl:23-78)."""
+    particles, svgd_iteration, ex = build_uq(cfg, p_opt)
+    rng = np.random.default_rng(cfg.seed)
+    history = ParticleHistory(cfg.gap)
+    losses_train, losses_val = [], []
+    stepsize = cfg.stepsize
+    loss_exp = np.zeros(ex["n_exp"])
+    grad_all_val = jax.jit(
+        jax.vmap(ex["loss_one"], in_axes=(0, None))
+    )
+    for it in range(cfg.n_iters):
+        for i_exp in rng.permutation(ex["n_exp"]):
+            if i_exp == cfg.val_index:
+                loss_exp[i_exp] = float(
+                    jnp.mean(grad_all_val(particles, jnp.asarray(i_exp)))
+                )
+                continue
+            particles, mloss = svgd_iteration(
+                particles, jnp.asarray(i_exp), stepsize
+            )
+            loss_exp[i_exp] = float(mloss)
+        history.maybe_record(it, particles)
+        train_ids = [i for i in range(ex["n_exp"]) if i != cfg.val_index]
+        losses_train.append(float(np.mean(loss_exp[train_ids])))
+        losses_val.append(float(loss_exp[cfg.val_index]))
+        if (it + 1) % cfg.stepsize_decay_epochs == 0:
+            stepsize *= cfg.stepsize_decay
+        if verbose and it % max(cfg.n_iters // 10, 1) == 0:
+            print(f"svgd iter {it}: train {losses_train[-1]:.4e} "
+                  f"val {losses_val[-1]:.4e}", flush=True)
+    return particles, {
+        "loss_train": losses_train,
+        "loss_val": losses_val,
+        "history": history.tensor(),
+        "extras": ex,
+    }
+
+
+if __name__ == "__main__":
+    import argparse
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--iters", type=int, default=200)
+    ap.add_argument("--particles", type=int, default=100)
+    ap.add_argument("--out", default="runs")
+    args = ap.parse_args()
+    cfg = CathodeUQConfig(n_iters=args.iters, num_particles=args.particles)
+    particles, info = run_uq(cfg)
+    import os
+
+    from crnn_tpu.uq.posterior import (
+        plot_correlation_heatmap, plot_particle_histograms, posterior_moments,
+    )
+
+    out = os.path.join(args.out, "cathode_uq")
+    names = ([f"lnA{i}" for i in range(1, 4)] + [f"Ea{i}" for i in range(1, 4)]
+             + [f"b{i}" for i in range(1, 4)] + [f"dH{i}" for i in range(1, 4)]
+             + [f"n{i}" for i in range(1, 4)] + ["nu2", "nu3"])
+    plot_correlation_heatmap(np.asarray(particles),
+                             os.path.join(out, "corr.png"), names)
+    plot_particle_histograms(np.asarray(particles),
+                             os.path.join(out, "hist.png"), names)
+    m = posterior_moments(np.asarray(particles))
+    print("posterior std per param:", np.round(m["std"], 4))

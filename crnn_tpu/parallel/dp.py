@@ -17,7 +17,6 @@ import jax
 import jax.numpy as jnp
 import optax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
-from jax.experimental.shard_map import shard_map
 
 
 def make_dp_train_step(
@@ -50,7 +49,7 @@ def make_dp_train_step(
         loss, g = jax.value_and_grad(mean_loss)(params)
         return loss, g
 
-    smapped = shard_map(
+    smapped = jax.shard_map(
         local_loss_and_grad,
         mesh=mesh,
         in_specs=(P(), P(axis_name), P(axis_name), P(axis_name), P(axis_name)),
@@ -83,7 +82,7 @@ def make_dp_eval(
         )
         return losses
 
-    smapped = shard_map(
+    smapped = jax.shard_map(
         local_eval,
         mesh=mesh,
         in_specs=(P(), P(axis_name), P(axis_name), P(axis_name)),
