@@ -13,7 +13,7 @@ def setup_cache(path: str = None) -> None:
     """Enable the persistent compilation cache (compiles here are remote and
     slow — caching across processes matters for the case runners/bench)."""
     global _CACHE_INITIALISED
-    if _CACHE_INITIALISED:
+    if _CACHE_INITIALISED or os.environ.get("CRNN_TPU_NO_CACHE"):
         return
     path = path or os.environ.get(
         "CRNN_TPU_CACHE", os.path.join(os.path.expanduser("~"), ".crnn_tpu_jax_cache")

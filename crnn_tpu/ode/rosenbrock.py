@@ -38,11 +38,19 @@ _E32 = 6.0 + math.sqrt(2.0)
 
 
 class Rosenbrock23(Solver):
-    """Adaptive 2(3) Rosenbrock-W method with exact forward-mode Jacobian."""
+    """Adaptive 2(3) Rosenbrock-W method.
+
+    The Jacobian defaults to exact forward-mode AD; pass ``jac(t, y, args)``
+    to use a closed form (e.g. the analytic CRNN Jacobian in
+    ``crnn_tpu.models.jacobian``) — W-methods tolerate approximate J.
+    """
 
     order = 2
     n_stages = 3  # Hermite dense: [f0, f_end, (y1-y0)/dt]
     implicit = True
+
+    def __init__(self, jac=None):
+        self.jac = jac
 
     def init(self, f: RHS, t0, y0, args) -> Any:
         return f(t0, y0, args)  # slope at (t, y): reused as f0 (FSAL-like)
@@ -51,7 +59,10 @@ class Rosenbrock23(Solver):
         f0 = state
         dtype = y.dtype
 
-        jac = jax.jacfwd(lambda yy: f(t, yy, args))(y)
+        if self.jac is not None:
+            jac = self.jac(t, y, args)
+        else:
+            jac = jax.jacfwd(lambda yy: f(t, yy, args))(y)
         # non-autonomous term df/dt (zero for autonomous RHS; needed for
         # temperature-ramp models like Cathode, network.jl:60-65)
         ft = jax.jvp(lambda tt: f(tt, y, args), (t,), (jnp.ones((), dtype),))[1]

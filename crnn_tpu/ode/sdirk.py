@@ -79,12 +79,15 @@ class ESDIRK(Solver):
     n_stages = 3  # Hermite dense: [f0, f_end, (y1-y0)/dt]
 
     def __init__(self, tableau: ESDIRKTableau, max_newton_iters: int = 8,
-                 newton_rtol: float = 1e-9, newton_atol: float = 1e-12):
+                 newton_rtol: float = 1e-9, newton_atol: float = 1e-12,
+                 jac=None):
         self.tab = tableau
         self.order = tableau.order
         self.max_newton_iters = max_newton_iters
         self.newton_rtol = newton_rtol
         self.newton_atol = newton_atol
+        # optional closed-form Jacobian jac(t, y, args); default jacfwd
+        self.jac = jac
 
     def init(self, f: RHS, t0, y0, args) -> Any:
         return f(t0, y0, args)
@@ -95,7 +98,10 @@ class ESDIRK(Solver):
         dtype = y.dtype
         g = jnp.asarray(tab.gamma, dtype)
 
-        jac = jax.jacfwd(lambda yy: f(t, yy, args))(y)
+        if self.jac is not None:
+            jac = self.jac(t, y, args)
+        else:
+            jac = jax.jacfwd(lambda yy: f(t, yy, args))(y)
         eye = jnp.eye(y.shape[-1], dtype=dtype)
         w = eye - (dt * g) * jac
         w_inv = inv_small(w)
