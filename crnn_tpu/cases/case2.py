@@ -23,6 +23,7 @@ from crnn_tpu.cases.base import CaseSetup, run_case
 from crnn_tpu.data.generate import generate_dataset
 from crnn_tpu.data.truth import CASE2_EA, CASE2_LOGA, case2_arrhenius, case2_truth
 from crnn_tpu.models.crnn import make_crnn_arrhenius_rhs
+from crnn_tpu.models.jacobian import make_crnn_arrhenius_jac
 from crnn_tpu.ode import AutoSwitch, Rosenbrock23, Tsit5, get_solver, odesolve
 from crnn_tpu.train.loop import Trainer
 from crnn_tpu.train.loss import make_trajectory_loss
@@ -53,7 +54,7 @@ class Case2Config:
     i_obs: Optional[Sequence[int]] = None   # case2_missing: (0,1,3,4,5)
     p_cutoff: float = 0.0                   # case2_pruning: 0.01
     seed: int = 1234
-    max_steps: int = 512
+    max_steps: int = 256
     solver: str = "auto_tsit5_rosenbrock23"
     mode: str = "batch"
     dtype: str = "float32"
@@ -92,7 +93,15 @@ def build(cfg: Case2Config = Case2Config()) -> CaseSetup:
     )
 
     rhs = make_crnn_arrhenius_rhs(cfg.lb, cfg.ub)
-    solver = get_solver(cfg.solver)
+    # closed-form Jacobian: one rates eval + two small matmuls per implicit
+    # step instead of jacfwd's (ns+1) forward RHS passes
+    jac = make_crnn_arrhenius_jac(cfg.lb, cfg.ub)
+    if cfg.solver == "rosenbrock23":
+        solver = Rosenbrock23(jac=jac)
+    elif cfg.solver == "auto_tsit5_rosenbrock23":
+        solver = AutoSwitch(Tsit5(), Rosenbrock23(jac=jac))
+    else:
+        solver = get_solver(cfg.solver)
 
     def weights_fn(p):
         if cfg.p_cutoff > 0:

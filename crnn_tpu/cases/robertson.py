@@ -22,6 +22,7 @@ from crnn_tpu.cases.base import CaseSetup, run_case
 from crnn_tpu.data.generate import generate_dataset, latin_hypercube
 from crnn_tpu.data.truth import ROBERTSON_K, robertson_truth
 from crnn_tpu.models.crnn import make_crnn_scaled_rhs
+from crnn_tpu.models.jacobian import make_crnn_scaled_jac
 from crnn_tpu.ode import Rosenbrock23, odesolve
 from crnn_tpu.train.lm import levenberg_marquardt
 from crnn_tpu.train.loop import Trainer
@@ -86,7 +87,9 @@ def build(cfg: RobertsonConfig = RobertsonConfig()) -> CaseSetup:
     dydt_scale = dataset.yscale / t1
 
     rhs = make_crnn_scaled_rhs(cfg.lb, jnp.inf, dydt_scale, exp_cap=200.0)
-    solver = Rosenbrock23()
+    # analytic Jacobian for the W-method (models/jacobian.py)
+    solver = Rosenbrock23(jac=make_crnn_scaled_jac(cfg.lb, jnp.inf, dydt_scale,
+                                                   exp_cap=200.0))
 
     def weights_fn(p):
         return p2vec_robertson(p, cfg.ns, cfg.nr)

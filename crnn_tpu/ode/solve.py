@@ -33,7 +33,7 @@ import jax
 import jax.numpy as jnp
 
 from crnn_tpu.ode.base import RHS, Solver
-from crnn_tpu.ode.controller import error_norm, initial_step, propose_dt
+from crnn_tpu.ode.controller import error_norm, initial_step, propose_dt, propose_dt_pi
 
 _RUNNING = 0
 _DONE = 1
@@ -43,12 +43,13 @@ _FAILED = 2
 class ODESolution(NamedTuple):
     ts: jnp.ndarray       # (n_save,) requested save times
     ys: jnp.ndarray       # (n_save, *y_shape) interpolated solution
-    success: jnp.ndarray  # bool: reached t1 with a healthy controller
+    success: jnp.ndarray  # bool: reached t1 (or terminated by event)
     n_steps: jnp.ndarray  # total attempted steps
     n_accepted: jnp.ndarray
     n_rejected: jnp.ndarray
     final_t: jnp.ndarray
     final_y: jnp.ndarray
+    event_triggered: jnp.ndarray = None  # bool: terminated early by event_fn
 
 
 class _Carry(NamedTuple):
@@ -61,6 +62,8 @@ class _Carry(NamedTuple):
     n_steps: jnp.ndarray
     n_accepted: jnp.ndarray
     n_rejected: jnp.ndarray
+    prev_err: jnp.ndarray
+    event: jnp.ndarray
 
 
 def _tree_select(pred, a, b):
@@ -84,11 +87,20 @@ def odesolve(
     factor_min: float = 0.2,
     factor_max: float = 10.0,
     dtmin_frac: float = 1e-12,
+    controller: str = "i",
+    event_fn=None,
 ) -> ODESolution:
     """Integrate dy/dt = f(t, y, args) from t0 to t1, saving at ``saveat``.
 
-    All arguments except ``f``, ``solver``, ``max_steps``, ``unroll`` may be
-    traced; the function is jit/vmap/grad-compatible.
+    All arguments except ``f``, ``solver``, ``max_steps``, ``unroll``,
+    ``controller`` and ``event_fn`` may be traced; the function is
+    jit/vmap/grad-compatible.
+
+    controller: 'i' (integral) or 'pi' (proportional-integral).
+    event_fn(t, y, args) -> bool: terminate-integration event, checked
+    after every accepted step (the DiscreteCallback terminate! analogue,
+    Cathode/src/network.jl:98-100). Remaining save times are forward-
+    filled with the state at the event.
     """
     dtype = jnp.result_type(y0.dtype)
     y0 = jnp.asarray(y0, dtype)
@@ -121,6 +133,8 @@ def odesolve(
         n_steps=jnp.asarray(0, jnp.int32),
         n_accepted=jnp.asarray(0, jnp.int32),
         n_rejected=jnp.asarray(0, jnp.int32),
+        prev_err=jnp.asarray(1.0, dtype),
+        event=jnp.asarray(False),
     )
 
     def body(s: _Carry) -> _Carry:
@@ -146,13 +160,30 @@ def odesolve(
         ys = jnp.where(fill[:, None], y_interp, s.ys)
 
         # --- controller (non-differentiable) -------------------------------
-        dt_next = jax.lax.stop_gradient(
-            propose_dt(
-                dt, err, accept, solver.order_for(s.solver_state),
+        order = solver.order_for(s.solver_state)
+        if controller == "pi":
+            dt_prop, prev_err = propose_dt_pi(
+                dt, err, s.prev_err, accept, order,
                 safety, factor_min, factor_max,
             )
-        )
-        finished = accept & clipped
+        else:
+            dt_prop = propose_dt(dt, err, accept, order,
+                                 safety, factor_min, factor_max)
+            prev_err = s.prev_err
+        dt_next = jax.lax.stop_gradient(dt_prop)
+        adv = running & accept
+
+        # --- terminate-on-event (after accepted steps) ---------------------
+        if event_fn is not None:
+            triggered = adv & event_fn(t_new, res.y1, args)
+            y1_ff = jnp.where(jnp.isfinite(res.y1), res.y1, jnp.zeros_like(res.y1))
+            # forward-fill all later save times with the state at the event
+            fill_rest = triggered & (saveat > t_new)
+            ys = jnp.where(fill_rest[:, None], y1_ff[None, :], ys)
+        else:
+            triggered = jnp.asarray(False)
+
+        finished = (accept & clipped) | triggered
         too_small = dt_next < dtmin
         new_status = jnp.where(
             finished,
@@ -161,7 +192,6 @@ def odesolve(
         ).astype(jnp.int32)
         status = jnp.where(running, new_status, s.status)
 
-        adv = running & accept
         y1_safe = jnp.where(jnp.isfinite(res.y1), res.y1, jnp.zeros_like(res.y1))
         return _Carry(
             t=jnp.where(adv, jax.lax.stop_gradient(t_new), s.t),
@@ -173,6 +203,8 @@ def odesolve(
             n_steps=s.n_steps + running.astype(jnp.int32),
             n_accepted=s.n_accepted + adv.astype(jnp.int32),
             n_rejected=s.n_rejected + (running & ~accept).astype(jnp.int32),
+            prev_err=jax.lax.stop_gradient(jnp.where(running, prev_err, s.prev_err)),
+            event=s.event | triggered,
         )
 
     if unroll == "while":
@@ -200,4 +232,5 @@ def odesolve(
         n_rejected=final.n_rejected,
         final_t=final.t,
         final_y=final.y,
+        event_triggered=final.event,
     )
