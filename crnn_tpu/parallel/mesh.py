@@ -16,6 +16,23 @@ import numpy as np
 from jax.sharding import Mesh
 
 
+def init_distributed(coordinator_address: Optional[str] = None,
+                     num_processes: Optional[int] = None,
+                     process_id: Optional[int] = None) -> None:
+    """Multi-host initialisation (one call per host before device use).
+
+    Thin wrapper over ``jax.distributed.initialize``; on single-host TPU
+    slices (v5e-8 and below) it is a no-op — the mesh sees all local chips
+    directly. Arguments default to the standard env-var autodetection.
+    """
+    if num_processes is not None and num_processes <= 1:
+        return
+    try:
+        jax.distributed.initialize(coordinator_address, num_processes, process_id)
+    except (RuntimeError, ValueError):
+        pass  # already initialised or single-process environment
+
+
 def make_mesh(n_devices: Optional[int] = None, axis_name: str = "exp") -> Mesh:
     """1-D mesh over the first n_devices (default: all)."""
     devices = jax.devices()
