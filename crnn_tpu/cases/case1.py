@@ -85,22 +85,28 @@ def build(cfg: Case1Config = Case1Config()) -> CaseSetup:
             p = prune_case2_params(p, cfg.ns, cfg.nr, cfg.p_cutoff)
         return p2vec_case1(p, cfg.ns, cfg.nr, cfg.b0)
 
-    def predict_from_u0(p, u0_i):
+    def predict_from_u0(p, u0_i, unroll="scan"):
         w = weights_fn(p)
         sol = odesolve(
             rhs, solver, u0_i, 0.0, t1, saveat, args=w,
             rtol=cfg.rtol, atol=cfg.atol, max_steps=cfg.max_steps,
+            unroll=unroll,
         )
         return jnp.clip(sol.ys, -cfg.ub, cfg.ub)
 
     loss_fn = make_trajectory_loss("mae", yscale=dataset.yscale)
 
-    def loss_i_exp(p, i_exp, mask):
-        pred = predict_from_u0(p, dataset.u0[i_exp])
+    def loss_i_exp(p, i_exp, mask, unroll="scan"):
+        pred = predict_from_u0(p, dataset.u0[i_exp], unroll)
         return loss_fn(pred, dataset.ys[i_exp], mask)
+
+    def loss_i_exp_eval(p, i_exp, mask):
+        # gradient-free eval pass: early-exiting while driver
+        return loss_i_exp(p, i_exp, mask, unroll="while")
 
     trainer = Trainer(
         loss_i_exp=loss_i_exp,
+        loss_i_exp_eval=loss_i_exp_eval,
         optimizer=(
             adamw_like(cfg.lr, weight_decay=cfg.weight_decay,
                        grad_max=cfg.grad_max or None)

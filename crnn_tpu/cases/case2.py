@@ -108,24 +108,29 @@ def build(cfg: Case2Config = Case2Config()) -> CaseSetup:
             p = prune_case2_params(p, cfg.ns, cfg.nr, cfg.p_cutoff)
         return p2vec_case2(p, cfg.ns, cfg.nr)
 
-    def predict_from_u0(p, u0_i):
+    def predict_from_u0(p, u0_i, unroll="scan"):
         w = weights_fn(p)
         sol = odesolve(
             rhs, solver, u0_i, 0.0, t1, saveat, args=w,
             rtol=cfg.rtol, atol=cfg.atol, max_steps=cfg.max_steps,
+            unroll=unroll,
         )
         return jnp.clip(sol.ys[:, : cfg.ns], -cfg.ub, cfg.ub)
 
     loss_fn = make_trajectory_loss("mae", yscale=dataset.yscale,
                                    i_obs=cfg.i_obs)
 
-    def loss_i_exp(p, i_exp, mask):
-        pred = predict_from_u0(p, dataset.u0[i_exp])
+    def loss_i_exp(p, i_exp, mask, unroll="scan"):
+        pred = predict_from_u0(p, dataset.u0[i_exp], unroll)
         return loss_fn(pred, dataset.ys[i_exp], mask)
+
+    def loss_i_exp_eval(p, i_exp, mask):
+        return loss_i_exp(p, i_exp, mask, unroll="while")
 
     updates_per_epoch = cfg.n_exp_train if cfg.mode == "sequential" else 1
     trainer = Trainer(
         loss_i_exp=loss_i_exp,
+        loss_i_exp_eval=loss_i_exp_eval,
         optimizer=expdecay_adamw(
             cfg.lr0, cfg.lr_decay, cfg.lr_decay_epochs * updates_per_epoch,
             cfg.lr_floor, weight_decay=cfg.weight_decay,

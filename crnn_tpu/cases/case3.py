@@ -106,11 +106,12 @@ def build(cfg: Case3Config = Case3Config()) -> CaseSetup:
             )
         return w
 
-    def predict_from_u0(p, u0_i):
+    def predict_from_u0(p, u0_i, unroll="scan"):
         w = weights_fn(p)
         sol = odesolve(
             rhs, solver, u0_i, 0.0, t1, saveat, args=w,
             rtol=cfg.rtol, atol=cfg.atol, max_steps=cfg.max_steps,
+            unroll=unroll,
         )
         return jnp.clip(sol.ys, cfg.lb, cfg.ub)
 
@@ -124,15 +125,19 @@ def build(cfg: Case3Config = Case3Config()) -> CaseSetup:
         optimizer = adamw_like(cfg.lr, weight_decay=1e-6)
         n_exp_update = None
 
-    def loss_i_exp(p, i_exp, mask):
-        pred = predict_from_u0(p, dataset.u0[i_exp])
+    def loss_i_exp(p, i_exp, mask, unroll="scan"):
+        pred = predict_from_u0(p, dataset.u0[i_exp], unroll)
         data = dataset.ys[i_exp]
         if cfg.variant == "case3":
             data = jnp.clip(data, cfg.lb, cfg.ub)
         return loss_fn(pred, data, mask)
 
+    def loss_i_exp_eval(p, i_exp, mask):
+        return loss_i_exp(p, i_exp, mask, unroll="while")
+
     trainer = Trainer(
         loss_i_exp=loss_i_exp,
+        loss_i_exp_eval=loss_i_exp_eval,
         optimizer=optimizer,
         n_exp_train=cfg.n_exp_train,
         n_exp=cfg.n_exp,

@@ -93,11 +93,12 @@ def build(cfg: QSSAConfig = QSSAConfig()) -> CaseSetup:
     def weights_fn(params):
         return p2vec_qssa(params["crnn"], cfg.ns, cfg.nr)
 
-    def predict_from_u0(params, u0_i):
+    def predict_from_u0(params, u0_i, unroll="scan"):
         w = weights_fn(params)
         sol = odesolve(
             rhs, solver, u0_i, 0.0, t1, saveat, args=(w, params["mlp"]),
             rtol=cfg.rtol, atol=cfg.atol, max_steps=cfg.max_steps,
+            unroll=unroll,
         )
         ys = sol.ys
         # post-solve: re-predict the QSS radical from the solved (y1, y3)
@@ -108,14 +109,18 @@ def build(cfg: QSSAConfig = QSSAConfig()) -> CaseSetup:
     # unscaled MAE on observed species (0, 2) (rober_crnn_qssa.jl:152-157)
     loss_fn = make_trajectory_loss("mae", i_obs=(0, 2))
 
-    def loss_i_exp(params, i_exp, mask):
-        pred = predict_from_u0(params, dataset.u0[i_exp])
+    def loss_i_exp(params, i_exp, mask, unroll="scan"):
+        pred = predict_from_u0(params, dataset.u0[i_exp], unroll)
         return loss_fn(pred, dataset.ys[i_exp], mask)
+
+    def loss_i_exp_eval(params, i_exp, mask):
+        return loss_i_exp(params, i_exp, mask, unroll="while")
 
     lim = (6.0 / (cfg.ns + cfg.nr)) ** 0.5
     pcrnn = jax.random.uniform(k_p, (np_crnn,), dtype, -lim, lim).at[-1].set(0.1)
     trainer = Trainer(
         loss_i_exp=loss_i_exp,
+        loss_i_exp_eval=loss_i_exp_eval,
         optimizer=adamw_like(cfg.lr, weight_decay=cfg.weight_decay),
         n_exp_train=cfg.n_exp_train,
         n_exp=cfg.n_exp,

@@ -99,25 +99,30 @@ def build(cfg: YeastConfig = YeastConfig()) -> CaseSetup:
     def weights_fn(params):
         return p2vec_yeast(split_params(params)[0], cfg.ns, cfg.ns_, cfg.nr)
 
-    def predict_from_u0(params, u0_i):
+    def predict_from_u0(params, u0_i, unroll="scan"):
         pcrnn, pmlp = split_params(params)
         w = p2vec_yeast(pcrnn, cfg.ns, cfg.ns_, cfg.nr)
         sol = odesolve(
             rhs, solver, u0_i, 0.0, t1, saveat, args=(w, pmlp),
             rtol=cfg.rtol, atol=cfg.atol, max_steps=cfg.max_steps,
+            unroll=unroll,
         )
         return jnp.clip(sol.ys, cfg.lb, cfg.ub)
 
     loss_fn = make_trajectory_loss("mae", yscale=dataset.yscale)
 
-    def loss_i_exp(params, i_exp, mask):
-        pred = predict_from_u0(params, dataset.u0[i_exp])
+    def loss_i_exp(params, i_exp, mask, unroll="scan"):
+        pred = predict_from_u0(params, dataset.u0[i_exp], unroll)
         data = jnp.clip(dataset.ys[i_exp], cfg.lb, cfg.ub)
         return loss_fn(pred, data, mask)
+
+    def loss_i_exp_eval(params, i_exp, mask):
+        return loss_i_exp(params, i_exp, mask, unroll="while")
 
     updates_per_epoch = cfg.n_exp_train if cfg.mode == "sequential" else 1
     trainer = Trainer(
         loss_i_exp=loss_i_exp,
+        loss_i_exp_eval=loss_i_exp_eval,
         optimizer=expdecay_adamw(
             cfg.lr0, cfg.lr_decay, cfg.lr_decay_epochs * updates_per_epoch,
             cfg.lr_floor, weight_decay=cfg.weight_decay,

@@ -61,6 +61,9 @@ class Trainer:
     # case3 updates on ALL experiments incl. the validation split
     # (case3/case3.jl:263) — set n_exp_update=n_exp to mirror that quirk.
     n_exp_update: Optional[int] = None
+    # gradient-free loss for the evaluation pass (e.g. built on the
+    # early-exiting while-loop solver driver); defaults to loss_i_exp
+    loss_i_exp_eval: Optional[Callable] = None
 
     def init(self, params, seed: int = 0) -> TrainState:
         return TrainState(
@@ -117,9 +120,10 @@ class Trainer:
             raise ValueError(f"unknown mode {self.mode!r}")
 
         # full evaluation pass: every experiment, full horizon, batched
+        eval_loss = self.loss_i_exp_eval or self.loss_i_exp
         eval_mask = jnp.ones((self.n_save,), dtype)
         loss_exp = jax.vmap(
-            lambda i: self.loss_i_exp(params, i, eval_mask)
+            lambda i: eval_loss(params, i, eval_mask)
         )(jnp.arange(self.n_exp))
         loss_train = jnp.mean(loss_exp[: self.n_exp_train])
         loss_val = jnp.mean(loss_exp[self.n_exp_train:])
