@@ -86,30 +86,34 @@ def build(cfg: CathodeConfig = CathodeConfig()) -> CaseSetup:
     u0 = jnp.zeros((cfg.ns,), dtype).at[0].set(1.0)  # unity mass of c1
     n_save = ts.shape[1]
 
-    def predict_hrr(p, i_exp):
+    def predict_hrr(p, i_exp, unroll="while"):
         w = p2vec_cathode(p)
         beta = betas[i_exp]
         t_row = ts[i_exp]
         sol = odesolve(
             rhs, solver, u0, t_row[0], t_row[-1], t_row, args=(w, beta),
-            rtol=cfg.rtol, atol=cfg.lb, max_steps=cfg.maxiters,
+            rtol=cfg.rtol, atol=cfg.lb, max_steps=cfg.maxiters, unroll=unroll,
         )
         ys = jnp.clip(sol.ys, 0.0, 10.0)
         return cathode_hrr(t_row, ys, w, beta, cfg.lb)
 
-    def loss_i_exp(p, i_exp, mask):
-        pred = predict_hrr(p, i_exp)
+    def loss_i_exp(p, i_exp, mask, unroll="while"):
+        pred = predict_hrr(p, i_exp, unroll)
         w = masks[i_exp] * mask
         return jnp.sum(jnp.abs(pred - hrr_data[i_exp]) * w) / jnp.sum(w)
 
     trainer = Trainer(
-        loss_i_exp=loss_i_exp,
+        loss_i_exp=lambda p, i, m: loss_i_exp(p, i, m, "scan"),
+        loss_i_exp_eval=loss_i_exp,
         optimizer=adamw_like(cfg.adam_lr, weight_decay=cfg.w_decay,
                              grad_max=cfg.grad_max),
         n_exp_train=n_exp - 1,
         n_exp=n_exp,
         n_save=n_save,
         mode=cfg.mode,
+        # 18 parameters: forward-mode AD through the early-exiting while
+        # driver (the reference's ForwardDiff path, crnn_cathode.jl:17)
+        grad_mode="fwd",
     )
 
     key = jax.random.PRNGKey(cfg.seed)

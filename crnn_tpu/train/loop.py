@@ -64,6 +64,11 @@ class Trainer:
     # gradient-free loss for the evaluation pass (e.g. built on the
     # early-exiting while-loop solver driver); defaults to loss_i_exp
     loss_i_exp_eval: Optional[Callable] = None
+    # gradient mode: 'rev' (reverse through the scan driver — default) or
+    # 'fwd' (jacfwd through the while driver — the ForwardDiff.gradient
+    # analogue, case2/case2.jl:195; wins for small parameter counts like
+    # Cathode's 18 because the while loop exits early)
+    grad_mode: str = "rev"
 
     def init(self, params, seed: int = 0) -> TrainState:
         return TrainState(
@@ -82,6 +87,19 @@ class Trainer:
         samples = jax.random.randint(key, (n,), lo, hi + 1)
         return jax.vmap(lambda s: prefix_mask(self.n_save, s, dtype))(samples)
 
+    def _value_and_grad(self):
+        """(params, i_exp, mask) -> (loss, grad) in the configured mode."""
+        if self.grad_mode == "fwd":
+            loss_fn = self.loss_i_exp_eval or self.loss_i_exp
+
+            def vag(params, idx, mask):
+                loss = loss_fn(params, idx, mask)
+                g = jax.jacfwd(lambda p: loss_fn(p, idx, mask))(params)
+                return loss, g
+
+            return vag
+        return jax.value_and_grad(self.loss_i_exp)
+
     def _epoch(self, state: TrainState) -> Tuple[TrainState, EpochMetrics]:
         key, k_perm, k_hor = jax.random.split(state.key, 3)
         dtype = jnp.result_type(jax.tree.leaves(state.params)[0].dtype)
@@ -89,11 +107,12 @@ class Trainer:
         perm = jax.random.permutation(k_perm, n_upd)
         masks = self._sample_masks(k_hor, n_upd, dtype)
 
+        vag = self._value_and_grad()
         if self.mode == "sequential":
             def step(carry, xs):
                 params, opt_state = carry
                 idx, mask = xs
-                loss, g = jax.value_and_grad(self.loss_i_exp)(params, idx, mask)
+                loss, g = vag(params, idx, mask)
                 gnorm = optax.global_norm(g)
                 updates, opt_state = self.optimizer.update(g, opt_state, params)
                 params = optax.apply_updates(params, updates)
@@ -104,13 +123,24 @@ class Trainer:
             )
             grad_norm = jnp.mean(gnorms)
         elif self.mode == "batch":
-            def mean_loss(params):
-                losses = jax.vmap(
-                    lambda i, m: self.loss_i_exp(params, i, m)
-                )(perm, masks)
-                return jnp.mean(losses)
+            if self.grad_mode == "fwd":
+                loss_fn = self.loss_i_exp_eval or self.loss_i_exp
 
-            _, g = jax.value_and_grad(mean_loss)(state.params)
+                def mean_loss(params):
+                    losses = jax.vmap(
+                        lambda i, m: loss_fn(params, i, m)
+                    )(perm, masks)
+                    return jnp.mean(losses)
+
+                g = jax.jacfwd(mean_loss)(state.params)
+            else:
+                def mean_loss(params):
+                    losses = jax.vmap(
+                        lambda i, m: self.loss_i_exp(params, i, m)
+                    )(perm, masks)
+                    return jnp.mean(losses)
+
+                _, g = jax.value_and_grad(mean_loss)(state.params)
             grad_norm = optax.global_norm(g)
             updates, opt_state = self.optimizer.update(
                 g, state.opt_state, state.params
