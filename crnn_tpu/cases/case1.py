@@ -49,7 +49,7 @@ class Case1Config:
     b0: float = -10.0
     p_cutoff: float = 0.0
     seed: int = 1234
-    max_steps: int = 256
+    max_steps: int = 128
     mode: str = "batch"        # 'batch' (TPU-first) or 'sequential' (faithful)
     dtype: str = "float32"
 

@@ -43,7 +43,7 @@ class Case1RevConfig:
     lb: float = 1e-5
     grad_max: float = 0.0
     seed: int = 1234
-    max_steps: int = 256
+    max_steps: int = 128
     mode: str = "batch"
     dtype: str = "float32"
 

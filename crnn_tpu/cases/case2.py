@@ -54,7 +54,7 @@ class Case2Config:
     i_obs: Optional[Sequence[int]] = None   # case2_missing: (0,1,3,4,5)
     p_cutoff: float = 0.0                   # case2_pruning: 0.01
     seed: int = 1234
-    max_steps: int = 256
+    max_steps: int = 128
     solver: str = "auto_tsit5_rosenbrock23"
     mode: str = "batch"
     dtype: str = "float32"
