@@ -12,6 +12,7 @@ import time
 from dataclasses import dataclass, field
 from typing import Any, Callable, Optional
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -62,23 +63,46 @@ def run_case(
               f"{int(state.epoch)}")
 
     logger = MetricsLogger(os.path.join(run_dir, "metrics.jsonl"),
-                           print_every=log_every)
+                           print_every=0)
     step = trainer.epoch_fn()
     t_start = time.time()
 
+    # Per-epoch host syncs would serialise the device pipeline; metrics are
+    # kept on-device and flushed in batches every `flush_every` epochs.
+    flush_every = max(1, log_every or 10)
+    pending = []
+    t_flush = time.time()
+
+    def _flush(upto_epoch):
+        nonlocal pending, t_flush
+        if not pending:
+            return
+        vals = jax.device_get(
+            [(m.loss_train, m.loss_val, m.grad_norm) for m in pending]
+        )
+        per_epoch = (time.time() - t_flush) / len(pending)
+        for k, (lt, lv, gn) in enumerate(vals):
+            history["loss_train"].append(float(lt))
+            history["loss_val"].append(float(lv))
+            history["grad_norm"].append(float(gn))
+        logger.log(epoch=upto_epoch, loss_train=history["loss_train"][-1],
+                   loss_val=history["loss_val"][-1],
+                   grad_norm=history["grad_norm"][-1], epoch_s=per_epoch)
+        if log_every:
+            print(f"epoch={upto_epoch} loss_train={history['loss_train'][-1]:.4e} "
+                  f"loss_val={history['loss_val'][-1]:.4e} "
+                  f"epoch_s={per_epoch:.4f}", flush=True)
+        pending = []
+        t_flush = time.time()
+
     for e in range(n_epoch):
-        t0 = time.time()
         state, m = step(state)
-        m.loss_train.block_until_ready()  # async dispatch: time the compute
-        epoch_s = time.time() - t0
-        history["loss_train"].append(float(m.loss_train))
-        history["loss_val"].append(float(m.loss_val))
-        history["grad_norm"].append(float(m.grad_norm))
-        logger.log(epoch=int(state.epoch), loss_train=float(m.loss_train),
-                   loss_val=float(m.loss_val), grad_norm=float(m.grad_norm),
-                   epoch_s=epoch_s)
+        pending.append(m)
+        if (e + 1) % flush_every == 0:
+            _flush(e + 1)
 
         if (e + 1) % n_plot == 0 or e == n_epoch - 1:
+            _flush(e + 1)
             display_weights(setup.weights_fn(state.params), setup.dydt_scale)
             print(f"[{setup.name}] epoch {int(state.epoch)} "
                   f"min loss train {np.min(history['loss_train']):.4e} "
