@@ -12,6 +12,14 @@ _CACHE_INITIALISED = False
 def setup_cache(path: str = None) -> None:
     """Enable the persistent compilation cache (compiles here are remote and
     slow — caching across processes matters for the case runners/bench)."""
+    # optional platform override (e.g. CRNN_TPU_PLATFORM=cpu to develop on
+    # CPU while a TPU job runs; the axon plugin ignores JAX_PLATFORMS)
+    platform = os.environ.get("CRNN_TPU_PLATFORM")
+    if platform:
+        try:
+            jax.config.update("jax_platforms", platform)
+        except Exception:
+            pass
     global _CACHE_INITIALISED
     if _CACHE_INITIALISED or os.environ.get("CRNN_TPU_NO_CACHE"):
         return
