@@ -113,3 +113,33 @@ class ParticleHistory:
 
     def tensor(self) -> np.ndarray:
         return np.stack(self.snapshots) if self.snapshots else np.empty((0,))
+
+
+def animate_particle_evolution(history: np.ndarray, path: str,
+                               param_pair=(0, 3), fps: int = 10) -> None:
+    """GIF of two parameters' particle cloud over SVGD iterations
+    (the mp4 animations of post_Plotting.jl:286-331)."""
+    import matplotlib.animation as animation
+
+    if history.size == 0:
+        return
+    i, j = param_pair
+    fig, ax = plt.subplots(figsize=(4, 4))
+    lo = history[..., [i, j]].min(axis=(0, 1))
+    hi = history[..., [i, j]].max(axis=(0, 1))
+    pad = 0.05 * (hi - lo + 1e-12)
+    scat = ax.scatter(history[0, :, i], history[0, :, j], s=8, alpha=0.6)
+    ax.set_xlim(lo[0] - pad[0], hi[0] + pad[0])
+    ax.set_ylim(lo[1] - pad[1], hi[1] + pad[1])
+    ax.set_xlabel(f"p{i}")
+    ax.set_ylabel(f"p{j}")
+
+    def update(frame):
+        scat.set_offsets(history[frame][:, [i, j]])
+        ax.set_title(f"snapshot {frame}")
+        return (scat,)
+
+    anim = animation.FuncAnimation(fig, update, frames=history.shape[0])
+    os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+    anim.save(path, writer=animation.PillowWriter(fps=fps))
+    plt.close(fig)
