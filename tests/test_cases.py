@@ -136,3 +136,23 @@ def test_checkpoint_roundtrip(tmp_path):
     s2, m2 = step(restored)
     np.testing.assert_allclose(float(m1.loss_train), float(m2.loss_train),
                                rtol=1e-12)
+
+
+def test_fwd_grad_mode_matches_rev():
+    """jacfwd-through-while updates == reverse-through-scan updates."""
+    import dataclasses
+
+    from crnn_tpu.cases.case1 import Case1Config, build
+
+    cfg = Case1Config(n_exp_train=3, n_exp_test=1, datasize=10, max_steps=96)
+    s_rev = build(cfg)
+    s_fwd = build(cfg)
+    s_fwd.trainer.grad_mode = "fwd"
+    st_r = s_rev.trainer.init(s_rev.init_params)
+    st_f = s_fwd.trainer.init(s_fwd.init_params)
+    st_r, m_r = s_rev.trainer.epoch_fn()(st_r)
+    st_f, m_f = s_fwd.trainer.epoch_fn()(st_f)
+    np.testing.assert_allclose(np.asarray(st_f.params), np.asarray(st_r.params),
+                               rtol=2e-4, atol=2e-6)
+    np.testing.assert_allclose(float(m_f.loss_train), float(m_r.loss_train),
+                               rtol=1e-5)
