@@ -48,7 +48,7 @@ class Case3Config:
     ub: float = 100.0
     p_cutoff: float = 0.0
     seed: int = 1234
-    max_steps: int = 384
+    max_steps: int = 192
     mode: str = "batch"
     dtype: str = "float32"
     horizon: Optional[tuple] = None

@@ -53,7 +53,7 @@ class HyChemConfig:
     atol: float = 1e-8
     rtol: float = 1e-3
     seed: int = 1234
-    max_steps: int = 1024
+    max_steps: int = 256
     data_path: Optional[str] = None   # raw trajectory table; None -> surrogate
     project_elements: bool = False    # element-conservation projection flag
     solver: str = "rosenbrock23"

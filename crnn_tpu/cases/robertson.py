@@ -48,7 +48,7 @@ class RobertsonConfig:
     lb: float = 1e-8
     ub: float = 10.0
     seed: int = 1234
-    max_steps: int = 1024
+    max_steps: int = 192
     mode: str = "batch"
 
     @property

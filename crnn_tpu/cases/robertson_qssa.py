@@ -42,7 +42,7 @@ class QSSAConfig:
     lb: float = 1e-5
     ub: float = 10.0
     seed: int = 1234
-    max_steps: int = 768
+    max_steps: int = 256
     mode: str = "batch"
 
     @property

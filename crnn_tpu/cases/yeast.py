@@ -45,7 +45,7 @@ class YeastConfig:
     lr_floor: float = 1e-5
     weight_decay: float = 1e-6
     seed: int = 1234
-    max_steps: int = 768
+    max_steps: int = 384
     solver: str = "trbdf2"
     mode: str = "batch"
     dtype: str = "float32"
