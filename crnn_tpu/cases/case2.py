@@ -51,6 +51,9 @@ class Case2Config:
     lr_decay_epochs: int = 500
     lr_floor: float = 1e-4
     weight_decay: float = 1e-6
+    # the reference trains case2 unclipped; batched long runs occasionally
+    # meet solver-failure gradient spikes (~1e18), so clip by global norm
+    grad_max: float = 100.0
     i_obs: Optional[Sequence[int]] = None   # case2_missing: (0,1,3,4,5)
     p_cutoff: float = 0.0                   # case2_pruning: 0.01
     seed: int = 1234
@@ -134,6 +137,7 @@ def build(cfg: Case2Config = Case2Config()) -> CaseSetup:
         optimizer=expdecay_adamw(
             cfg.lr0, cfg.lr_decay, cfg.lr_decay_epochs * updates_per_epoch,
             cfg.lr_floor, weight_decay=cfg.weight_decay,
+            grad_max=cfg.grad_max or None,
         ),
         n_exp_train=cfg.n_exp_train,
         n_exp=cfg.n_exp,

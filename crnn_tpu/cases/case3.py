@@ -42,6 +42,7 @@ class Case3Config:
     n_exp_test: int = 30
     noise: float = 5e-2
     lr: float = 1e-3
+    grad_max: float = 100.0   # robustness clip (reference trains unclipped)
     atol: float = 1e-5
     rtol: float = 1e-2
     lb: float = 1e-5
@@ -118,11 +119,12 @@ def build(cfg: Case3Config = Case3Config()) -> CaseSetup:
     if cfg.variant == "case3":
         # log-space loss with data clamped into [lb, ub] (case3.jl:183-190)
         loss_fn = make_trajectory_loss("log_mae", clip_lb=cfg.lb, clip_ub=cfg.ub)
-        optimizer = nadam_like(cfg.lr)
+        optimizer = nadam_like(cfg.lr, grad_max=cfg.grad_max or None)
         n_exp_update = cfg.n_exp   # case3.jl:263 trains on ALL experiments
     else:
         loss_fn = make_trajectory_loss("mae", yscale=dataset.yscale)
-        optimizer = adamw_like(cfg.lr, weight_decay=1e-6)
+        optimizer = adamw_like(cfg.lr, weight_decay=1e-6,
+                               grad_max=cfg.grad_max or None)
         n_exp_update = None
 
     def loss_i_exp(p, i_exp, mask, unroll="scan"):
