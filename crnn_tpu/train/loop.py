@@ -156,7 +156,11 @@ class Trainer:
             lambda i: eval_loss(params, i, eval_mask)
         )(jnp.arange(self.n_exp))
         loss_train = jnp.mean(loss_exp[: self.n_exp_train])
-        loss_val = jnp.mean(loss_exp[self.n_exp_train:])
+        if self.n_exp > self.n_exp_train:
+            loss_val = jnp.mean(loss_exp[self.n_exp_train:])
+        else:
+            # no held-out split (HyChem trains one trajectory): report train
+            loss_val = loss_train
 
         new_state = TrainState(params, opt_state, state.epoch + 1, key)
         return new_state, EpochMetrics(loss_train, loss_val, grad_norm, loss_exp)
