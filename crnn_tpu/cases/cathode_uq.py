@@ -43,7 +43,7 @@ class CathodeUQConfig:
     noise_level: float = 0.05
     init_jitter: float = 1e-3
     lb: float = 1e-8
-    maxiters: int = 2048
+    maxiters: int = 512
     rtol: float = 1e-4
     solver: str = "trbdf2"
     val_index: int = 3
@@ -143,9 +143,17 @@ def build_uq(cfg: CathodeUQConfig = CathodeUQConfig(),
         losses, grads = grad_all(particles, i_exp)
         # noise normalisation of the score (dlnprob, network.jl:234-250)
         lnpgrad = -grads / normalizer[i_exp] ** 2
+        # failed-solve tolerance (UQ network.jl:214: truncated solutions must
+        # not crash the loop): a particle whose solve/gradient went non-finite
+        # contributes no data force this iteration but still feels the kernel
+        # repulsion, pushing it back toward the ensemble.
+        finite = jnp.isfinite(lnpgrad).all(axis=1, keepdims=True)
+        lnpgrad = jnp.where(finite, lnpgrad, 0.0)
         kxy, dxkxy = rbf_kernel(particles)
         phi = (kxy @ lnpgrad + dxkxy) / particles.shape[0]
-        return particles + stepsize * phi, jnp.mean(losses)
+        phi = jnp.where(jnp.isfinite(phi), phi, 0.0)
+        return particles + stepsize * phi, jnp.nanmean(
+            jnp.where(jnp.isfinite(losses), losses, jnp.nan))
 
     extras = {
         "ts": ts, "reps": reps, "masks": masks, "betas": betas,

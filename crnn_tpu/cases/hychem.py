@@ -183,7 +183,7 @@ def build(cfg: HyChemConfig = HyChemConfig()) -> CaseSetup:
         feats = jnp.concatenate(
             [logx, (-1.0 / R_KCAL / temp)[None], jnp.log(temp)[None]]
         )
-        wdot = w.w_out @ jnp.exp(jnp.minimum(w.w_in.T @ feats + w.w_b, 200.0))
+        wdot = w.w_out @ jnp.exp(jnp.minimum(w.w_in.T @ feats + w.w_b, 32.0))
         return wdot * mw / density * dydt_scale
 
     solver = get_solver(cfg.solver)

@@ -86,10 +86,10 @@ def build(cfg: RobertsonConfig = RobertsonConfig()) -> CaseSetup:
     )
     dydt_scale = dataset.yscale / t1
 
-    rhs = make_crnn_scaled_rhs(cfg.lb, jnp.inf, dydt_scale, exp_cap=200.0)
+    rhs = make_crnn_scaled_rhs(cfg.lb, jnp.inf, dydt_scale, exp_cap=32.0)
     # analytic Jacobian for the W-method (models/jacobian.py)
     solver = Rosenbrock23(jac=make_crnn_scaled_jac(cfg.lb, jnp.inf, dydt_scale,
-                                                   exp_cap=200.0))
+                                                   exp_cap=32.0))
 
     def weights_fn(p):
         return p2vec_robertson(p, cfg.ns, cfg.nr)

@@ -85,7 +85,7 @@ def build(cfg: QSSAConfig = QSSAConfig()) -> CaseSetup:
     mlp_params, mlp_apply = make_mlp(
         k_mlp, [2, 4, 4, 4, 1], ["gelu", "gelu", "gelu", "exp"], dtype,
     )
-    rhs = make_crnn_qssa_rhs(cfg.lb, cfg.ub, mlp_apply, exp_cap=200.0)
+    rhs = make_crnn_qssa_rhs(cfg.lb, cfg.ub, mlp_apply, exp_cap=32.0)
     solver = Rosenbrock23()
 
     np_crnn = cfg.nr * (2 * cfg.ns + 1) + 1

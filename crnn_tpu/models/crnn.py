@@ -40,10 +40,17 @@ R_J = 8.314
 
 
 def _safe_exp(z, cap: float):
+    # NOTE: TPU emulates f64 as double-float pairs with float32 exponent
+    # range (overflow ~3.4e38; exp(100) is inf on TPU). Error norms and
+    # Newton monitors SQUARE rate-derived values, so the cap must satisfy
+    # (e^cap)^2 < 3.4e38 -> cap <= ~44; we use 32 (rates <= 8e13, far above
+    # any physical kinetics here). Rejected trial steps with wild parameters
+    # rely on this staying finite so reverse-mode gradients cannot be
+    # poisoned by inf * 0.
     return jnp.exp(jnp.minimum(z, cap))
 
 
-def make_crnn_rhs(lb: float, ub: float, exp_cap: float = 60.0) -> Callable:
+def make_crnn_rhs(lb: float, ub: float, exp_cap: float = 32.0) -> Callable:
     """Isothermal mass-action CRNN (case1, case3 without scaling)."""
 
     def rhs(t, y, w: CRNNWeights):
@@ -54,7 +61,7 @@ def make_crnn_rhs(lb: float, ub: float, exp_cap: float = 60.0) -> Callable:
     return rhs
 
 
-def make_crnn_arrhenius_rhs(lb: float, ub: float, exp_cap: float = 60.0) -> Callable:
+def make_crnn_arrhenius_rhs(lb: float, ub: float, exp_cap: float = 32.0) -> Callable:
     """Arrhenius CRNN: temperature rides as the (constant) last state.
 
     Input features are [log X; -1/(R*T)], so w_in's extra row is Ea
@@ -74,7 +81,7 @@ def make_crnn_arrhenius_rhs(lb: float, ub: float, exp_cap: float = 60.0) -> Call
 
 
 def make_crnn_scaled_rhs(lb: float, ub: float, dydt_scale: jnp.ndarray,
-                         exp_cap: float = 60.0) -> Callable:
+                         exp_cap: float = 32.0) -> Callable:
     """CRNN with per-species dy/dt rescaling (case3/case3.jl:162-166,
     robertson/rober_crnn.jl:113-116). ``dydt_scale = yscale / t_end``."""
 
@@ -87,7 +94,7 @@ def make_crnn_scaled_rhs(lb: float, ub: float, dydt_scale: jnp.ndarray,
 
 
 def make_crnn_reversible_rhs(lb: float, order_clip: float = 2.5,
-                             exp_cap: float = 60.0) -> Callable:
+                             exp_cap: float = 32.0) -> Callable:
     """Reversible CRNN: forward/backward orders derived from shared w_out
     with Kc = 1 (case1 rev/case1.jl:81-90)."""
 
@@ -103,7 +110,7 @@ def make_crnn_reversible_rhs(lb: float, order_clip: float = 2.5,
 
 
 def make_crnn_yeast_rhs(lb: float, ub: float, ns: int, mlp_apply_fn: Callable,
-                        exp_cap: float = 60.0) -> Callable:
+                        exp_cap: float = 32.0) -> Callable:
     """Hybrid CRNN: an MLP infers hidden species inside the RHS, plus a
     learned constant influx w_J (yeast_glycolysis.jl:138-142).
 
@@ -123,7 +130,7 @@ def make_crnn_yeast_rhs(lb: float, ub: float, ns: int, mlp_apply_fn: Callable,
 
 
 def make_crnn_qssa_rhs(lb: float, ub: float, mlp_apply_fn: Callable,
-                       exp_cap: float = 60.0) -> Callable:
+                       exp_cap: float = 32.0) -> Callable:
     """QSSA hybrid for Robertson: the fast radical y2 is replaced inside the
     RHS by an MLP of (y1, y3) (rober_crnn_qssa.jl:122-126).
 
@@ -154,7 +161,7 @@ def _cathode_rates(logx, temp, w: CRNNWeights, exp_cap: float):
 
 
 def make_cathode_rhs(lb: float, t0_kelvin: float = 373.15,
-                     exp_cap: float = 200.0) -> Callable:
+                     exp_cap: float = 32.0) -> Callable:
     """Sequential decomposition c1 -> c2 -> c3 under a linear heating ramp
     (Cathode/src/network.jl:60-80). args = (weights, beta [K/min])."""
 
@@ -172,7 +179,7 @@ def make_cathode_rhs(lb: float, t0_kelvin: float = 373.15,
 
 
 def cathode_hrr(ts, ys, w: CRNNWeights, beta, lb: float,
-                t0_kelvin: float = 373.15, exp_cap: float = 200.0):
+                t0_kelvin: float = 373.15, exp_cap: float = 32.0):
     """Heat-release rate reconstruction: HRR(t) = rates(t) @ delH
     (Cathode/src/network.jl:82-91,121). ys: (n_t, ns)."""
     temp = t0_kelvin + beta / 60.0 * ts                   # (n_t,)

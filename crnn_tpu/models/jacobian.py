@@ -27,7 +27,7 @@ def _rates(w: CRNNWeights, feats, exp_cap):
     return jnp.exp(jnp.minimum(w.w_in.T @ feats + w.w_b, exp_cap))
 
 
-def make_crnn_jac(lb: float, ub: float, exp_cap: float = 60.0) -> Callable:
+def make_crnn_jac(lb: float, ub: float, exp_cap: float = 32.0) -> Callable:
     """Jacobian of the isothermal CRNN RHS (pairs with make_crnn_rhs)."""
 
     def jac(t, y, w: CRNNWeights):
@@ -42,7 +42,7 @@ def make_crnn_jac(lb: float, ub: float, exp_cap: float = 60.0) -> Callable:
 
 
 def make_crnn_scaled_jac(lb: float, ub: float, dydt_scale,
-                         exp_cap: float = 60.0) -> Callable:
+                         exp_cap: float = 32.0) -> Callable:
     """Jacobian of the scaled CRNN RHS (pairs with make_crnn_scaled_rhs)."""
     base = make_crnn_jac(lb, ub, exp_cap)
 
@@ -53,7 +53,7 @@ def make_crnn_scaled_jac(lb: float, ub: float, dydt_scale,
 
 
 def make_crnn_arrhenius_jac(lb: float, ub: float,
-                            exp_cap: float = 60.0) -> Callable:
+                            exp_cap: float = 32.0) -> Callable:
     """Jacobian of the Arrhenius CRNN RHS (pairs with
     make_crnn_arrhenius_rhs). State = [species..., T]; dT/dt = 0 so the
     last row is zero; the last column is the temperature sensitivity of

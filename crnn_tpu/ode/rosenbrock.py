@@ -69,7 +69,11 @@ class Rosenbrock23(Solver):
 
         eye = jnp.eye(y.shape[-1], dtype=dtype)
         w = eye - (dt * _D) * jac
-        w_inv = inv_small(w)
+        # clamp the inverse: near-singular W from a huge trial dt must not
+        # inject inf into the (rejected) step's gradient graph
+        w_inv = jnp.clip(jnp.nan_to_num(inv_small(w), nan=0.0,
+                                        posinf=1e18, neginf=-1e18),
+                         -1e18, 1e18)
 
         def wsolve(b):
             return w_inv @ b

@@ -79,8 +79,12 @@ class ESDIRK(Solver):
     n_stages = 3  # Hermite dense: [f0, f_end, (y1-y0)/dt]
 
     def __init__(self, tableau: ESDIRKTableau, max_newton_iters: int = 8,
-                 newton_rtol: float = 1e-9, newton_atol: float = 1e-12,
+                 newton_rtol: float = 1e-7, newton_atol: float = 1e-10,
                  jac=None):
+        # Newton tolerances must stay achievable on TPU's double-float f64
+        # emulation (~1e-15 per-op, less through matvec chains): demanding
+        # 1e-9 relative increments makes convergence unreachable there, so
+        # every step rejects and dt collapses.
         self.tab = tableau
         self.order = tableau.order
         self.max_newton_iters = max_newton_iters
@@ -104,7 +108,11 @@ class ESDIRK(Solver):
             jac = jax.jacfwd(lambda yy: f(t, yy, args))(y)
         eye = jnp.eye(y.shape[-1], dtype=dtype)
         w = eye - (dt * g) * jac
-        w_inv = inv_small(w)
+        # near-singular W (huge trial dt) can overflow the inverse; clamp
+        # so discarded-step gradients stay finite (step is rejected via ok)
+        w_inv = jnp.clip(jnp.nan_to_num(inv_small(w), nan=0.0,
+                                        posinf=1e18, neginf=-1e18),
+                         -1e18, 1e18)
 
         def newton_stage(t_stage, y_base, k_guess):
             """Solve k = f(t_stage, y_base + dt*gamma*k) by simplified Newton."""
@@ -114,8 +122,16 @@ class ESDIRK(Solver):
                 k, _ = carry
                 resid = k - f(t_stage, y_base + (dt * g) * k, args)
                 delta = w_inv @ resid
-                k_new = k - delta
-                inc = jnp.sqrt(jnp.mean((delta * dt / scale) ** 2))
+                # bound the iterate: a diverging Newton (huge trial dt) must
+                # not push k past the TPU-f64 overflow range, or the scan
+                # backward pass picks up inf*0 NaNs from discarded steps
+                k_new = jnp.clip(k - delta, -1e16, 1e16)
+                # convergence monitor only: keep it out of the AD graph so
+                # its squares can't poison gradients when a trial step blows
+                # up (the step gets rejected anyway)
+                inc = jax.lax.stop_gradient(
+                    jnp.sqrt(jnp.mean((delta * dt / scale) ** 2))
+                )
                 return (k_new, inc)
 
             k, inc = jax.lax.fori_loop(

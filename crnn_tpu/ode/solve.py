@@ -141,8 +141,11 @@ def odesolve(
         running = s.status == _RUNNING
         t_rem = t1 - s.t
         clipped = s.dt >= t_rem
-        # keep masked lanes numerically sane (strictly positive dt)
-        dt = jnp.where(running, jnp.minimum(s.dt, t_rem), jnp.asarray(1.0, dtype))
+        # Masked (finished/failed) lanes still execute the step body; give
+        # them their own last stable dt — an arbitrary constant could be
+        # wildly large for the lane's dynamics and overflow inside the
+        # (discarded) stage math, poisoning reverse-mode gradients.
+        dt = jnp.where(running, jnp.minimum(s.dt, t_rem), s.dt)
         dt = jnp.maximum(dt, jnp.asarray(0.0, dtype))
 
         res = solver.step(f, s.t, s.y, dt, args, s.solver_state)
@@ -152,7 +155,7 @@ def odesolve(
         t_new = s.t + dt
 
         # --- dense saveat fill over (t, t_new] -----------------------------
-        theta = jnp.clip((saveat - s.t) / jnp.maximum(dt, 1e-300 if dtype == jnp.float64 else 1e-30), 0.0, 1.0)
+        theta = jnp.clip((saveat - s.t) / jnp.maximum(dt, 1e-30), 0.0, 1.0)
         bmat = solver.interp_matrix(theta).astype(dtype)      # (n_save, n_stages)
         y_interp = s.y[None, :] + dt * (bmat @ res.dense)      # (n_save, ns)
         y_interp = jnp.where(jnp.isfinite(y_interp), y_interp, jnp.zeros_like(y_interp))

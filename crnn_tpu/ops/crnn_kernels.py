@@ -30,7 +30,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-_EXP_CAP = 60.0
+_EXP_CAP = 32.0
 
 
 # ---------------------------------------------------------------------------

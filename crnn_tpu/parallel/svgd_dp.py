@@ -46,8 +46,13 @@ def make_dp_svgd_step(value_and_grad_one: Callable, mesh: Mesh,
     @jax.jit
     def step(particles, i_exp, stepsize, normalizer):
         losses, lnpgrad = smapped(particles, i_exp, normalizer)
+        # failed-solve tolerance: non-finite scores contribute no data force
+        finite = jnp.isfinite(lnpgrad).all(axis=1, keepdims=True)
+        lnpgrad = jnp.where(finite, lnpgrad, 0.0)
         kxy, dxkxy = rbf_kernel(particles)
         phi = (kxy @ lnpgrad + dxkxy) / particles.shape[0]
-        return particles + stepsize * phi, jnp.mean(losses)
+        phi = jnp.where(jnp.isfinite(phi), phi, 0.0)
+        return particles + stepsize * phi, jnp.nanmean(
+            jnp.where(jnp.isfinite(losses), losses, jnp.nan))
 
     return step
