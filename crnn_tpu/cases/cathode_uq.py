@@ -210,10 +210,15 @@ if __name__ == "__main__":
     ap = argparse.ArgumentParser()
     ap.add_argument("--iters", type=int, default=200)
     ap.add_argument("--particles", type=int, default=100)
+    ap.add_argument("--p-opt", default=None,
+                    help="path to the deterministic optimum (p_opt.npy from "
+                         "the cathode run) to warm-start the ensemble, as the "
+                         "reference does (UQ network.jl:11)")
     ap.add_argument("--out", default="runs")
     args = ap.parse_args()
     cfg = CathodeUQConfig(n_iters=args.iters, num_particles=args.particles)
-    particles, info = run_uq(cfg)
+    p_opt = np.load(args.p_opt) if args.p_opt else None
+    particles, info = run_uq(cfg, p_opt=p_opt)
     import os
 
     from crnn_tpu.uq.posterior import (

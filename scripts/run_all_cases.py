@@ -44,11 +44,15 @@ def main():
     run("yeast", yeast.build, yeast.YeastConfig(), 300)
     run("hychem", hychem.build, hychem.HyChemConfig(), 1000)
 
-    # cathode + UQ have their own drivers
+    # cathode + UQ have their own drivers; UQ warm-starts from the trained
+    # cathode optimum (the reference's deterministic checkpoint)
     from crnn_tpu.cases.cathode import CathodeConfig, run_cathode
 
+    p_opt = None
     try:
-        run_cathode(CathodeConfig(n_epoch=300, mode="batch"), out_dir="runs")
+        _, best = run_cathode(CathodeConfig(n_epoch=300, mode="batch"),
+                              out_dir="runs")
+        p_opt = best["params"]
         print("== cathode: OK", flush=True)
     except Exception:
         print("== cathode: FAILED", flush=True)
@@ -58,7 +62,7 @@ def main():
 
     try:
         run_uq(CathodeUQConfig(n_iters=50, num_particles=50, n_replicates=50),
-               verbose=True)
+               p_opt=p_opt, verbose=True)
         print("== cathode_uq: OK", flush=True)
     except Exception:
         print("== cathode_uq: FAILED", flush=True)
