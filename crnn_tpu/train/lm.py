@@ -45,7 +45,12 @@ def levenberg_marquardt(
         jtj = jac.T @ jac
         jtr = jac.T @ r
         damped = jtj + lam * jnp.diag(jnp.diag(jtj)) + 1e-12 * jnp.eye(p.shape[0], dtype=p.dtype)
-        delta = jnp.linalg.solve(damped, -jtr)
+        # CG on the SPD damped normal equations: pure-jnp matvecs (TPU has
+        # no f64 LuDecomposition custom call), np is tiny so CG converges
+        # in <= np iterations
+        delta, _ = jax.scipy.sparse.linalg.cg(
+            lambda x: damped @ x, -jtr, maxiter=4 * p.shape[0], tol=1e-12
+        )
         return r, jtr, delta
 
     p = p0

@@ -34,6 +34,7 @@ for e in range(N):
                   flush=True)
 print(f"{N} epochs in {time.time()-t0:.0f}s; best val {best[0]:.4e}", flush=True)
 p = best[1] if best[1] is not None else np.asarray(state.params)
+np.save("/tmp/robertson_p_adam.npy", p)  # persist before the LM phase
 
 # LM polish on the training residuals (rober_crnn_lm.jl:249-253)
 import jax.numpy as jnp
