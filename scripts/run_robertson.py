@@ -25,11 +25,11 @@ t0 = time.time()
 N = int(os.environ.get("ROBERTSON_EPOCHS", 8000))
 for e in range(N):
     state, m = step(state)
-    if e % 200 == 0:
+    if e % 100 == 0:
         lv = float(m.loss_val)
         if lv < best[0]:
             best = (lv, np.asarray(state.params))
-        if e % 1000 == 0:
+        if e % 300 == 0:
             print(e, float(m.loss_train), lv, f"gnorm {float(m.grad_norm):.2e}",
                   flush=True)
 print(f"{N} epochs in {time.time()-t0:.0f}s; best val {best[0]:.4e}", flush=True)
