@@ -43,7 +43,7 @@ class Case1RevConfig:
     lb: float = 1e-5
     grad_max: float = 0.0
     seed: int = 1234
-    max_steps: int = 128
+    max_steps: int = 512
     mode: str = "batch"
     dtype: str = "float32"
 
@@ -101,6 +101,12 @@ def build(cfg: Case1RevConfig = Case1RevConfig()) -> CaseSetup:
         n_exp=cfg.n_exp,
         n_save=cfg.datasize,
         mode=cfg.mode,
+        # forward-mode AD through the while driver (the reference's
+        # ForwardDiff path, case1 rev/case1.jl:197): the reversible RHS
+        # develops extreme reverse-mode sensitivities mid-training (grad
+        # norms ~1e11 and eventual NaNs through the deep scan); 60 forward
+        # tangents are cheap and stable
+        grad_mode="fwd",
     )
 
     return CaseSetup(

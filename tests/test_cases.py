@@ -156,3 +156,13 @@ def test_fwd_grad_mode_matches_rev():
                                rtol=2e-4, atol=2e-6)
     np.testing.assert_allclose(float(m_f.loss_train), float(m_r.loss_train),
                                rtol=1e-5)
+
+
+def test_case1_rev_smoke():
+    from crnn_tpu.cases.case1_rev import Case1RevConfig, build
+
+    setup = build(Case1RevConfig(n_exp_train=3, n_exp_test=1, datasize=12,
+                                 max_steps=256))
+    assert setup.trainer.grad_mode == "fwd"
+    _, first, last, _ = _run_epochs(setup, 2)
+    assert np.isfinite(last)
