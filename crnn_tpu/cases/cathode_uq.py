@@ -84,21 +84,35 @@ def build_uq(cfg: CathodeUQConfig = CathodeUQConfig(),
     k_init, k_rep = jax.random.split(key)
 
     # --- data: replicate noisy HRR curves per heating rate ----------------
-    dsc = synthetic_dsc(seed=cfg.seed, noise=0.0)
-    ts = jnp.asarray(dsc.ts, dtype)
-    masks = jnp.asarray(dsc.mask, dtype)
-    betas = jnp.asarray(dsc.betas, dtype)
-    clean = jnp.asarray(dsc.hrr, dtype)                      # (n_exp, n_t)
-    reps = clean[:, :, None] * (
-        1.0
-        + cfg.noise_level
-        * jax.random.normal(k_rep, clean.shape + (cfg.n_replicates,), dtype)
-    )                                                        # (n_exp, n_t, n_rep)
+    if cfg.data_dir:
+        # real measured replicate curves (UQ dataset.jl:5-24 format)
+        from crnn_tpu.data.loaders import load_uncert_dir
+
+        unc = load_uncert_dir(cfg.data_dir)
+        ts = jnp.asarray(unc.ts, dtype)
+        masks = jnp.asarray(unc.mask, dtype)
+        betas = jnp.asarray(unc.betas, dtype)
+        reps = jnp.asarray(unc.reps, dtype)                  # (n_exp, n_t, n_rep)
+        mean_curve = np.asarray(unc.reps).mean(axis=2)       # (n_exp, n_t)
+    else:
+        dsc = synthetic_dsc(seed=cfg.seed, noise=0.0)
+        ts = jnp.asarray(dsc.ts, dtype)
+        masks = jnp.asarray(dsc.mask, dtype)
+        betas = jnp.asarray(dsc.betas, dtype)
+        clean = jnp.asarray(dsc.hrr, dtype)                  # (n_exp, n_t)
+        reps = clean[:, :, None] * (
+            1.0
+            + cfg.noise_level
+            * jax.random.normal(k_rep, clean.shape + (cfg.n_replicates,), dtype)
+        )                                                    # (n_exp, n_t, n_rep)
+        mean_curve = np.asarray(clean)
     n_exp = ts.shape[0]
-    # per-experiment noise normaliser (dataset.jl:27-32: noise-scaled by
-    # heating-rate peak magnitude)
+    n_rep = reps.shape[2]
+    # per-experiment noise normaliser: noise_level x peak HRR per heating
+    # rate — reproduces the reference's hardcoded Normalizer table
+    # ("based on peak value and noise", UQ dataset.jl:27-32)
     normalizer = jnp.asarray(
-        [float(cfg.noise_level * np.max(np.asarray(clean[i]))) for i in range(n_exp)],
+        [float(cfg.noise_level * np.max(mean_curve[i])) for i in range(n_exp)],
         dtype,
     )
 
@@ -122,8 +136,8 @@ def build_uq(cfg: CathodeUQConfig = CathodeUQConfig(),
         ])
         return jnp.concatenate([raw17, jnp.asarray([p_opt[17]])])
 
-    def loss_one(p_norm, i_exp):
-        """Replicate-MSE likelihood loss (UQ network.jl:262-275)."""
+    def predict_one(p_norm, i_exp):
+        """Posterior-predictive HRR curve for one particle/experiment."""
         w = p2vec_cathode(denormalise(p_norm))
         t_row = ts[i_exp]
         sol = odesolve(
@@ -132,9 +146,13 @@ def build_uq(cfg: CathodeUQConfig = CathodeUQConfig(),
             max_steps=cfg.maxiters, unroll="scan",
         )
         ys = jnp.clip(sol.ys, 0.0, 10.0)
-        pred = cathode_hrr(t_row, ys, w, betas[i_exp], cfg.lb)
+        return cathode_hrr(t_row, ys, w, betas[i_exp], cfg.lb)
+
+    def loss_one(p_norm, i_exp):
+        """Replicate-MSE likelihood loss (UQ network.jl:262-275)."""
+        pred = predict_one(p_norm, i_exp)
         err = (pred[:, None] - reps[i_exp]) ** 2 * masks[i_exp][:, None]
-        return jnp.sum(err) / cfg.n_replicates / jnp.sum(masks[i_exp])
+        return jnp.sum(err) / n_rep / jnp.sum(masks[i_exp])
 
     grad_all = jax.vmap(jax.value_and_grad(loss_one), in_axes=(0, None))
 
@@ -158,7 +176,8 @@ def build_uq(cfg: CathodeUQConfig = CathodeUQConfig(),
     extras = {
         "ts": ts, "reps": reps, "masks": masks, "betas": betas,
         "normalizer": normalizer, "loss_one": loss_one,
-        "denormalise": denormalise, "n_exp": n_exp, "p_scales": p_scales,
+        "predict_one": predict_one, "denormalise": denormalise,
+        "n_exp": n_exp, "p_scales": p_scales,
     }
     return particles, svgd_iteration, extras
 
@@ -214,18 +233,28 @@ if __name__ == "__main__":
                     help="path to the deterministic optimum (p_opt.npy from "
                          "the cathode run) to warm-start the ensemble, as the "
                          "reference does (UQ network.jl:11)")
+    ap.add_argument("--data-dir", default=None,
+                    help="directory of UNCERT_cath_*.csv replicate curves "
+                         "(the reference's measured data); omit for the "
+                         "synthetic surrogate")
     ap.add_argument("--out", default="runs")
     args = ap.parse_args()
-    cfg = CathodeUQConfig(n_iters=args.iters, num_particles=args.particles)
+    cfg = CathodeUQConfig(n_iters=args.iters, num_particles=args.particles,
+                          data_dir=args.data_dir)
     p_opt = np.load(args.p_opt) if args.p_opt else None
     particles, info = run_uq(cfg, p_opt=p_opt)
     import os
 
     from crnn_tpu.uq.posterior import (
-        plot_correlation_heatmap, plot_particle_histograms, posterior_moments,
+        animate_particle_evolution, plot_correlation_heatmap,
+        plot_particle_histograms, plot_posterior_band, posterior_moments,
     )
 
     out = os.path.join(args.out, "cathode_uq")
+    os.makedirs(out, exist_ok=True)
+    np.save(os.path.join(out, "particles.npy"), np.asarray(particles))
+    np.savez(os.path.join(out, "losses.npz"),
+             loss_train=info["loss_train"], loss_val=info["loss_val"])
     names = ([f"lnA{i}" for i in range(1, 4)] + [f"Ea{i}" for i in range(1, 4)]
              + [f"b{i}" for i in range(1, 4)] + [f"dH{i}" for i in range(1, 4)]
              + [f"n{i}" for i in range(1, 4)] + ["nu2", "nu3"])
@@ -233,5 +262,21 @@ if __name__ == "__main__":
                              os.path.join(out, "corr.png"), names)
     plot_particle_histograms(np.asarray(particles),
                              os.path.join(out, "hist.png"), names)
+    # posterior predictive +/-4 sigma bands per heating rate
+    # (post_Plotting.jl:90-199, the reference's headline UQ figure)
+    ex = info["extras"]
+    predict_jit = jax.jit(ex["predict_one"])
+    for i in range(ex["n_exp"]):
+        n = int(np.sum(np.asarray(ex["masks"][i])))
+        plot_posterior_band(
+            np.asarray(ex["ts"][i])[:n],
+            np.asarray(ex["reps"][i]).mean(axis=1)[:n],
+            lambda p, i=i, n=n: predict_jit(p, jnp.asarray(i))[:n],
+            np.asarray(particles),
+            os.path.join(out, f"band_beta{int(ex['betas'][i])}.png"),
+        )
+    if info["history"].size:
+        animate_particle_evolution(info["history"],
+                                   os.path.join(out, "evolution.gif"))
     m = posterior_moments(np.asarray(particles))
     print("posterior std per param:", np.round(m["std"], 4))

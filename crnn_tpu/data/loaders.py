@@ -79,6 +79,62 @@ def load_cathode_dir(data_dir: str, cathode_num: int = 1,
     return pack_curves(curves, heating_rates)
 
 
+class ReplicateDSCData(NamedTuple):
+    ts: np.ndarray       # (n_exp, n_max) solve times [s], padded with t_end
+    reps: np.ndarray     # (n_exp, n_max, n_rep) replicate HRR curves, pad 0
+    mask: np.ndarray     # (n_exp, n_max) 1 = real sample
+    betas: np.ndarray    # (n_exp,) heating rates [K/min]
+    n_points: np.ndarray  # (n_exp,) true lengths
+
+
+def load_uncert_csv(path: str, beta: float,
+                    t_ref_celsius: float = 100.0) -> np.ndarray:
+    """One replicate file: [T_C, hrr_1 .. hrr_R] -> [t_s, hrr_1 .. hrr_R].
+
+    The UQ reference's format (Cathode_NCM333_UQ/src_333/dataset.jl:5-24):
+    first column is the instrument temperature in Celsius, the remaining
+    columns are noisy replicate heat-release measurements; duplicate
+    temperatures are dropped and t = (T - 100) * 60 / beta.
+    """
+    arr = np.loadtxt(path, delimiter=",", dtype=np.float64)
+    arr = _dedup_first_column(arr)
+    t = (arr[:, 0] - t_ref_celsius) * 60.0 / beta
+    return np.concatenate([t[:, None], arr[:, 1:]], axis=1)
+
+
+def load_uncert_dir(data_dir: str, cathode_num: int = 1,
+                    heating_rates: Sequence[float] = HEATING_RATES
+                    ) -> ReplicateDSCData:
+    """Load UNCERT_cath_<num>_<beta>.csv replicate curves, padded to fixed
+    (n_exp, n_max, n_rep) with per-row validity masks."""
+    import os
+
+    curves = [
+        load_uncert_csv(
+            os.path.join(data_dir, f"UNCERT_cath_{cathode_num}_{int(b)}.csv"), b
+        )
+        for b in heating_rates
+    ]
+    n_rep = min(c.shape[1] - 1 for c in curves)
+    n_max = max(c.shape[0] for c in curves)
+    n_exp = len(curves)
+    ts = np.zeros((n_exp, n_max))
+    reps = np.zeros((n_exp, n_max, n_rep))
+    mask = np.zeros((n_exp, n_max))
+    n_points = np.zeros((n_exp,), np.int32)
+    for i, c in enumerate(curves):
+        n = c.shape[0]
+        ts[i, :n] = c[:, 0]
+        ts[i, n:] = c[-1, 0]
+        reps[i, :n] = c[:, 1:1 + n_rep]
+        mask[i, :n] = 1.0
+        n_points[i] = n
+    return ReplicateDSCData(
+        ts=ts, reps=reps, mask=mask,
+        betas=np.asarray(heating_rates, np.float64), n_points=n_points,
+    )
+
+
 def synthetic_dsc(
     seed: int = 0,
     heating_rates: Sequence[float] = HEATING_RATES,

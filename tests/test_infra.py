@@ -66,6 +66,33 @@ def test_dsc_loader_roundtrip(tmp_path):
     assert np.all(np.isfinite(dsc.hrr))
 
 
+def test_uncert_replicate_loader(tmp_path):
+    """UNCERT format (UQ dataset.jl:5-24): [T_C, hrr_1..hrr_R] per row;
+    dedup temperatures, t = (T-100)*60/beta, pad ragged curves + masks."""
+    from crnn_tpu.data.loaders import load_uncert_dir
+
+    rng = np.random.default_rng(0)
+    lens = {2: 5, 5: 7, 10: 6, 15: 8, 20: 4}
+    for beta, n in lens.items():
+        temps = np.linspace(110.0, 300.0, n)
+        temps = np.concatenate([temps, temps[-1:]])  # duplicate last temp
+        reps = np.abs(rng.standard_normal((n + 1, 3)))
+        np.savetxt(str(tmp_path / f"UNCERT_cath_1_{beta}.csv"),
+                   np.concatenate([temps[:, None], reps], axis=1),
+                   delimiter=",")
+    data = load_uncert_dir(str(tmp_path))
+    assert data.ts.shape == (5, 8)
+    assert data.reps.shape == (5, 8, 3)
+    np.testing.assert_array_equal(data.n_points, [5, 7, 6, 8, 4])
+    # dedup dropped the duplicated temperature row
+    assert data.mask[0].sum() == 5
+    # time conversion for the first curve (beta=2)
+    np.testing.assert_allclose(data.ts[0, 0], (110.0 - 100.0) * 60.0 / 2.0)
+    # padding: times hold t_end, replicates zero, mask zero
+    assert data.ts[4, 5] == data.ts[4, 3]
+    assert np.all(data.reps[4, 4:] == 0.0)
+
+
 def test_metrics_logger(tmp_path):
     from crnn_tpu.infra.metrics import MetricsLogger
 
