@@ -62,6 +62,11 @@ class Case2Config:
     mode: str = "batch"
     dtype: str = "float32"
     missing_u0: bool = False                # case2_missing u0 tweaks
+    # batch-major solve path: whole-batch fused RHS+Jacobian per step
+    # through the Pallas kernels (ode/batch_solve.py, ops/crnn_kernels.py).
+    # rhs_force: None (auto dispatch) | 'pallas' | 'xla'.
+    batch_major: bool = False
+    rhs_force: Optional[str] = None
 
     @property
     def n_exp(self) -> int:
@@ -130,6 +135,36 @@ def build(cfg: Case2Config = Case2Config()) -> CaseSetup:
     def loss_i_exp_eval(p, i_exp, mask):
         return loss_i_exp(p, i_exp, mask, unroll="while")
 
+    loss_batch = loss_batch_eval = None
+    if cfg.batch_major:
+        # batch-major solve: ONE fused Pallas RHS+Jacobian evaluation of the
+        # whole experiment batch per Rosenbrock step (SURVEY.md §7 step 6)
+        from crnn_tpu.ode.batch_solve import batch_odesolve_rb23
+        from crnn_tpu.ops.crnn_kernels import make_arrhenius_ops
+
+        rhs_op, rhs_jac_op = make_arrhenius_ops(cfg.lb, cfg.ub,
+                                                force=cfg.rhs_force)
+
+        def predict_batch(p, u0_b, unroll):
+            w = weights_fn(p)
+            sol = batch_odesolve_rb23(
+                lambda t, y, w_: rhs_op(y, w_.w_in, w_.w_b, w_.w_out),
+                lambda t, y, w_: rhs_jac_op(y, w_.w_in, w_.w_b, w_.w_out),
+                u0_b, 0.0, t1, saveat, args=w,
+                rtol=cfg.rtol, atol=cfg.atol, max_steps=cfg.max_steps,
+                unroll=unroll,
+            )
+            return jnp.clip(sol.ys[:, :, : cfg.ns], -cfg.ub, cfg.ub)
+
+        def make_loss_batch(unroll):
+            def loss_batch_fn(p, idxs, masks):
+                preds = predict_batch(p, dataset.u0[idxs], unroll)
+                return jax.vmap(loss_fn)(preds, dataset.ys[idxs], masks)
+            return loss_batch_fn
+
+        loss_batch = make_loss_batch("scan")
+        loss_batch_eval = make_loss_batch("while")
+
     updates_per_epoch = cfg.n_exp_train if cfg.mode == "sequential" else 1
     trainer = Trainer(
         loss_i_exp=loss_i_exp,
@@ -143,6 +178,8 @@ def build(cfg: Case2Config = Case2Config()) -> CaseSetup:
         n_exp=cfg.n_exp,
         n_save=cfg.datasize,
         mode=cfg.mode,
+        loss_batch=loss_batch,
+        loss_batch_eval=loss_batch_eval,
     )
 
     return CaseSetup(

@@ -25,7 +25,7 @@ from crnn_tpu.models.crnn import make_crnn_scaled_rhs
 from crnn_tpu.ode import Tsit5, odesolve
 from crnn_tpu.train.loop import Trainer
 from crnn_tpu.train.loss import make_trajectory_loss
-from crnn_tpu.train.optimizers import adamw_like, nadam_like
+from crnn_tpu.train.optimizers import adamw_like, expdecay_adamw, nadam_like
 from crnn_tpu.transforms.p2vec import init_params_case3, p2vec_case3
 from crnn_tpu.transforms.pruning import relative_threshold, hard_threshold
 
@@ -53,6 +53,13 @@ class Case3Config:
     mode: str = "batch"
     dtype: str = "float32"
     horizon: Optional[tuple] = None
+    # staircase lr decay (ExpDecay analogue); 0 steps = constant lr.
+    # The reference restarts GRN manually with a lowered lr
+    # (gene-regulatory.jl:15 is_restart=true); a schedule automates that
+    # and prevents the late-run divergence seen at constant lr.
+    lr_decay: float = 0.5
+    lr_decay_steps: int = 0
+    lr_floor: float = 1e-5
 
     @property
     def n_exp(self) -> int:
@@ -123,8 +130,13 @@ def build(cfg: Case3Config = Case3Config()) -> CaseSetup:
         n_exp_update = cfg.n_exp   # case3.jl:263 trains on ALL experiments
     else:
         loss_fn = make_trajectory_loss("mae", yscale=dataset.yscale)
-        optimizer = adamw_like(cfg.lr, weight_decay=1e-6,
-                               grad_max=cfg.grad_max or None)
+        if cfg.lr_decay_steps > 0:
+            optimizer = expdecay_adamw(
+                cfg.lr, cfg.lr_decay, cfg.lr_decay_steps, cfg.lr_floor,
+                weight_decay=1e-6, grad_max=cfg.grad_max or None)
+        else:
+            optimizer = adamw_like(cfg.lr, weight_decay=1e-6,
+                                   grad_max=cfg.grad_max or None)
         n_exp_update = None
 
     def loss_i_exp(p, i_exp, mask, unroll="scan"):

@@ -125,6 +125,129 @@ def _rhs_jac_pallas(y, w_in, w_b, w_out, lb, ub, exp_cap=_EXP_CAP,
 
 
 # ---------------------------------------------------------------------------
+# Arrhenius variant (case2 family): state = [species..., T], features
+# [log X; -1/(R*T)] with w_in = [orders; Ea] (case2/case2.jl:113-118).
+# dT/dt = 0 -> last du entry and last Jacobian row are zero; the last
+# Jacobian column is the rate sensitivity through the -1/(R T) feature.
+# ---------------------------------------------------------------------------
+
+_INV_R_KCAL = -1.0 / 1.98720425864083e-3
+
+
+def arrhenius_rhs_batched_reference(y, w_in, w_b, w_out, lb, ub,
+                                    exp_cap=_EXP_CAP):
+    """du for a batch: y (B, ns+1) -> (B, ns+1); w_in (ns+1, nr)."""
+    ns = w_out.shape[0]
+    x, temp = y[:, :ns], y[:, ns]
+    logx = jnp.log(jnp.clip(x, lb, ub))
+    z = logx @ w_in[:ns] + (_INV_R_KCAL / temp)[:, None] * w_in[ns][None, :]
+    rates = jnp.exp(jnp.minimum(z + w_b[None, :], exp_cap))
+    du = rates @ w_out.T
+    return jnp.concatenate([du, jnp.zeros((y.shape[0], 1), y.dtype)], axis=1)
+
+
+def arrhenius_rhs_jac_batched_reference(y, w_in, w_b, w_out, lb, ub,
+                                        exp_cap=_EXP_CAP):
+    """(du, J) with J (B, ns+1, ns+1) (models/jacobian.py closed form)."""
+    b = y.shape[0]
+    ns = w_out.shape[0]
+    x, temp = y[:, :ns], y[:, ns]
+    xc = jnp.clip(x, lb, ub)
+    logx = jnp.log(xc)
+    z = logx @ w_in[:ns] + (_INV_R_KCAL / temp)[:, None] * w_in[ns][None, :]
+    rates = jnp.exp(jnp.minimum(z + w_b[None, :], exp_cap))
+    du = rates @ w_out.T
+    du = jnp.concatenate([du, jnp.zeros((b, 1), y.dtype)], axis=1)
+    in_range = ((x > lb) & (x < ub)).astype(y.dtype)
+    dlog = in_range / xc                                         # (B, ns)
+    j_xx = jnp.einsum("br,ir,jr->bij", rates, w_out, w_in[:ns]) * dlog[:, None, :]
+    dt_feat = (-_INV_R_KCAL) / (temp * temp)                     # 1/(R T^2)
+    j_xt = ((rates * w_in[ns][None, :]) @ w_out.T) * dt_feat[:, None]  # (B, ns)
+    top = jnp.concatenate([j_xx, j_xt[:, :, None]], axis=2)      # (B, ns, ns+1)
+    bottom = jnp.zeros((b, 1, ns + 1), y.dtype)
+    return du, jnp.concatenate([top, bottom], axis=1)
+
+
+def _arrh_rhs_kernel(y_ref, winx_ref, winea_ref, wb_ref, wout_ref, du_ref,
+                     *, lb, ub, exp_cap):
+    ns = wout_ref.shape[0]
+    y = y_ref[:]
+    x = y[:, :ns]
+    inv_t = _INV_R_KCAL / y[:, ns:ns + 1]                        # (B, 1)
+    logx = jnp.log(jnp.clip(x, lb, ub))
+    z = jnp.dot(logx, winx_ref[:], preferred_element_type=y.dtype)
+    rates = jnp.exp(jnp.minimum(z + inv_t * winea_ref[:] + wb_ref[:], exp_cap))
+    du_ref[:, :ns] = jnp.dot(rates, wout_ref[:].T,
+                             preferred_element_type=y.dtype)
+    du_ref[:, ns:ns + 1] = jnp.zeros_like(inv_t)
+
+
+def _arrh_rhs_jac_kernel(y_ref, winx_ref, winea_ref, wb_ref, wout_ref,
+                         du_ref, jac_ref, *, lb, ub, exp_cap):
+    ns = wout_ref.shape[0]
+    y = y_ref[:]
+    x = y[:, :ns]
+    temp = y[:, ns:ns + 1]
+    inv_t = _INV_R_KCAL / temp
+    xc = jnp.clip(x, lb, ub)
+    logx = jnp.log(xc)
+    z = jnp.dot(logx, winx_ref[:], preferred_element_type=y.dtype)
+    rates = jnp.exp(jnp.minimum(z + inv_t * winea_ref[:] + wb_ref[:], exp_cap))
+    du_ref[:, :ns] = jnp.dot(rates, wout_ref[:].T,
+                             preferred_element_type=y.dtype)
+    du_ref[:, ns:ns + 1] = jnp.zeros_like(inv_t)
+    in_range = jnp.logical_and(x > lb, x < ub).astype(y.dtype)
+    dlog = in_range / xc                                         # (B, ns)
+    dt_feat = (-_INV_R_KCAL) / (temp * temp)                     # (B, 1)
+    w_out = wout_ref[:]
+    w_in_x_t = winx_ref[:].T                                     # (nr, ns)
+    w_in_ea = winea_ref[:]                                       # (1, nr)
+    rates_ea = rates * w_in_ea                                   # (B, nr)
+    for i in range(ns):                                          # static ns
+        rw = rates * w_out[i][None, :]                           # (B, nr)
+        jac_ref[:, i, :ns] = jnp.dot(rw, w_in_x_t,
+                                     preferred_element_type=y.dtype) * dlog
+        jac_ref[:, i, ns:ns + 1] = (
+            jnp.sum(rates_ea * w_out[i][None, :], axis=1, keepdims=True)
+            * dt_feat
+        )
+    jac_ref[:, ns, :] = jnp.zeros_like(y)
+
+
+@functools.partial(jax.jit, static_argnames=("lb", "ub", "exp_cap", "interpret"))
+def _arrh_rhs_pallas(y, w_in, w_b, w_out, lb, ub, exp_cap=_EXP_CAP,
+                     interpret=False):
+    ns = w_out.shape[0]
+    return pl.pallas_call(
+        functools.partial(_arrh_rhs_kernel, lb=lb, ub=ub, exp_cap=exp_cap),
+        out_shape=jax.ShapeDtypeStruct(y.shape, y.dtype),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 5,
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(y, w_in[:ns], w_in[ns].reshape(1, -1), w_b.reshape(1, -1), w_out)
+
+
+@functools.partial(jax.jit, static_argnames=("lb", "ub", "exp_cap", "interpret"))
+def _arrh_rhs_jac_pallas(y, w_in, w_b, w_out, lb, ub, exp_cap=_EXP_CAP,
+                         interpret=False):
+    b, ns1 = y.shape
+    ns = w_out.shape[0]
+    return pl.pallas_call(
+        functools.partial(_arrh_rhs_jac_kernel, lb=lb, ub=ub, exp_cap=exp_cap),
+        out_shape=(
+            jax.ShapeDtypeStruct((b, ns1), y.dtype),
+            jax.ShapeDtypeStruct((b, ns1, ns1), y.dtype),
+        ),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 5,
+        out_specs=(
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ),
+        interpret=interpret,
+    )(y, w_in[:ns], w_in[ns].reshape(1, -1), w_b.reshape(1, -1), w_out)
+
+
+# ---------------------------------------------------------------------------
 # dispatching wrappers
 # ---------------------------------------------------------------------------
 
@@ -159,3 +282,126 @@ def crnn_rhs_jac_batched(y, w_in, w_b, w_out, lb, ub, exp_cap=_EXP_CAP,
     interpret = force == "interpret" or not _on_tpu()
     return _rhs_jac_pallas(y, w_in, w_b, w_out, float(lb), float(ub),
                            float(exp_cap), interpret)
+
+
+# ---------------------------------------------------------------------------
+# differentiable ops (Pallas forward, XLA-reference backward)
+#
+# pallas_call has no autodiff rules, so the hot-path ops pair the fused
+# forward kernel with a custom_vjp whose backward re-derives cotangents via
+# jax.vjp of the XLA reference implementation — exactly the pattern the
+# Pallas guide prescribes ("Patterns: Custom VJP"). Under the scan driver's
+# jax.checkpoint the forward (Pallas) is what gets recomputed in the bwd
+# pass, so the kernel accelerates both passes.
+# ---------------------------------------------------------------------------
+
+def arrhenius_rhs_batched(y, w_in, w_b, w_out, lb, ub, exp_cap=_EXP_CAP,
+                          min_pallas_batch: int = 8, force=None):
+    """Batched Arrhenius RHS; Pallas on TPU, XLA otherwise."""
+    if force == "xla" or (force is None and (
+            y.shape[0] < min_pallas_batch or not _on_tpu())):
+        return arrhenius_rhs_batched_reference(y, w_in, w_b, w_out, lb, ub,
+                                               exp_cap)
+    interpret = force == "interpret" or not _on_tpu()
+    return _arrh_rhs_pallas(y, w_in, w_b, w_out, float(lb), float(ub),
+                            float(exp_cap), interpret)
+
+
+def arrhenius_rhs_jac_batched(y, w_in, w_b, w_out, lb, ub, exp_cap=_EXP_CAP,
+                              min_pallas_batch: int = 8, force=None):
+    """Batched fused Arrhenius (du, J); dispatch as above."""
+    if force == "xla" or (force is None and (
+            y.shape[0] < min_pallas_batch or not _on_tpu())):
+        return arrhenius_rhs_jac_batched_reference(y, w_in, w_b, w_out,
+                                                   lb, ub, exp_cap)
+    interpret = force == "interpret" or not _on_tpu()
+    return _arrh_rhs_jac_pallas(y, w_in, w_b, w_out, float(lb), float(ub),
+                                float(exp_cap), interpret)
+
+
+def make_arrhenius_ops(lb: float, ub: float, exp_cap: float = _EXP_CAP,
+                       force=None):
+    """Differentiable batched Arrhenius (rhs_op, rhs_jac_op) pair for the
+    batch-major solve driver (ode/batch_solve.py): Pallas forward,
+    XLA-reference backward via custom_vjp."""
+
+    @jax.custom_vjp
+    def rhs_op(y, w_in, w_b, w_out):
+        return arrhenius_rhs_batched(y, w_in, w_b, w_out, lb, ub, exp_cap,
+                                     force=force)
+
+    def rhs_fwd(y, w_in, w_b, w_out):
+        return rhs_op(y, w_in, w_b, w_out), (y, w_in, w_b, w_out)
+
+    def rhs_bwd(res, g):
+        _, vjp = jax.vjp(
+            lambda *a: arrhenius_rhs_batched_reference(*a, lb, ub, exp_cap),
+            *res,
+        )
+        return vjp(g)
+
+    rhs_op.defvjp(rhs_fwd, rhs_bwd)
+
+    @jax.custom_vjp
+    def rhs_jac_op(y, w_in, w_b, w_out):
+        return arrhenius_rhs_jac_batched(y, w_in, w_b, w_out, lb, ub,
+                                         exp_cap, force=force)
+
+    def jac_fwd(y, w_in, w_b, w_out):
+        return rhs_jac_op(y, w_in, w_b, w_out), (y, w_in, w_b, w_out)
+
+    def jac_bwd(res, g):
+        _, vjp = jax.vjp(
+            lambda *a: arrhenius_rhs_jac_batched_reference(*a, lb, ub,
+                                                           exp_cap),
+            *res,
+        )
+        return vjp(g)
+
+    rhs_jac_op.defvjp(jac_fwd, jac_bwd)
+    return rhs_op, rhs_jac_op
+
+
+def make_crnn_rhs_op(lb: float, ub: float, exp_cap: float = _EXP_CAP,
+                     force=None):
+    """Differentiable batched RHS op: (y, w_in, w_b, w_out) -> du."""
+
+    @jax.custom_vjp
+    def op(y, w_in, w_b, w_out):
+        return crnn_rhs_batched(y, w_in, w_b, w_out, lb, ub, exp_cap,
+                                force=force)
+
+    def fwd(y, w_in, w_b, w_out):
+        return op(y, w_in, w_b, w_out), (y, w_in, w_b, w_out)
+
+    def bwd(res, g):
+        _, vjp = jax.vjp(
+            lambda *a: crnn_rhs_batched_reference(*a, lb, ub, exp_cap), *res
+        )
+        return vjp(g)
+
+    op.defvjp(fwd, bwd)
+    return op
+
+
+def make_crnn_rhs_jac_op(lb: float, ub: float, exp_cap: float = _EXP_CAP,
+                         force=None):
+    """Differentiable fused batched (du, J) op."""
+
+    @jax.custom_vjp
+    def op(y, w_in, w_b, w_out):
+        return crnn_rhs_jac_batched(y, w_in, w_b, w_out, lb, ub, exp_cap,
+                                    force=force)
+
+    def fwd(y, w_in, w_b, w_out):
+        return op(y, w_in, w_b, w_out), (y, w_in, w_b, w_out)
+
+    def bwd(res, g):
+        _, vjp = jax.vjp(
+            lambda *a: crnn_rhs_jac_batched_reference(*a, lb, ub, exp_cap),
+            *res,
+        )
+        return vjp(g)
+
+    op.defvjp(fwd, bwd)
+    return op

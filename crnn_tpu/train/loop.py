@@ -69,6 +69,12 @@ class Trainer:
     # analogue, case2/case2.jl:195; wins for small parameter counts like
     # Cathode's 18 because the while loop exits early)
     grad_mode: str = "rev"
+    # batch-major whole-batch losses (ode/batch_solve.py + Pallas fused
+    # kernels): loss_batch(params, idxs (n,), masks (n, n_save)) -> (n,)
+    # per-experiment losses. When set, 'batch' mode updates and the eval
+    # pass run through it instead of vmapping loss_i_exp.
+    loss_batch: Optional[Callable] = None
+    loss_batch_eval: Optional[Callable] = None
 
     def init(self, params, seed: int = 0) -> TrainState:
         return TrainState(
@@ -123,7 +129,12 @@ class Trainer:
             )
             grad_norm = jnp.mean(gnorms)
         elif self.mode == "batch":
-            if self.grad_mode == "fwd":
+            if self.loss_batch is not None:
+                def mean_loss(params):
+                    return jnp.mean(self.loss_batch(params, perm, masks))
+
+                _, g = jax.value_and_grad(mean_loss)(state.params)
+            elif self.grad_mode == "fwd":
                 loss_fn = self.loss_i_exp_eval or self.loss_i_exp
 
                 def mean_loss(params):
@@ -150,11 +161,18 @@ class Trainer:
             raise ValueError(f"unknown mode {self.mode!r}")
 
         # full evaluation pass: every experiment, full horizon, batched
-        eval_loss = self.loss_i_exp_eval or self.loss_i_exp
-        eval_mask = jnp.ones((self.n_save,), dtype)
-        loss_exp = jax.vmap(
-            lambda i: eval_loss(params, i, eval_mask)
-        )(jnp.arange(self.n_exp))
+        eval_batch = self.loss_batch_eval or self.loss_batch
+        if eval_batch is not None:
+            loss_exp = eval_batch(
+                params, jnp.arange(self.n_exp),
+                jnp.ones((self.n_exp, self.n_save), dtype),
+            )
+        else:
+            eval_loss = self.loss_i_exp_eval or self.loss_i_exp
+            eval_mask = jnp.ones((self.n_save,), dtype)
+            loss_exp = jax.vmap(
+                lambda i: eval_loss(params, i, eval_mask)
+            )(jnp.arange(self.n_exp))
         loss_train = jnp.mean(loss_exp[: self.n_exp_train])
         if self.n_exp > self.n_exp_train:
             loss_val = jnp.mean(loss_exp[self.n_exp_train:])

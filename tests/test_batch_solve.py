@@ -1,0 +1,114 @@
+"""Batch-major Rosenbrock driver vs per-lane vmap(odesolve) parity.
+
+The batch-major driver (ode/batch_solve.py) must reproduce the per-lane
+driver's trajectories and gradients: same method (Shampine 2(3) W), same
+controller, same dense output — only the evaluation layout differs.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from crnn_tpu.models.crnn import make_crnn_arrhenius_rhs
+from crnn_tpu.models.jacobian import make_crnn_arrhenius_jac
+from crnn_tpu.ode import Rosenbrock23, odesolve
+from crnn_tpu.ode.batch_solve import batch_odesolve_rb23
+from crnn_tpu.ops.crnn_kernels import make_arrhenius_ops
+from crnn_tpu.transforms.p2vec import init_params_case2, p2vec_case2
+
+NS, NR = 6, 3
+LB, UB = 1e-6, 10.0
+T1 = 20.0
+
+
+def _setup(b=6, dtype=jnp.float64):
+    key = jax.random.PRNGKey(3)
+    k1, k2 = jax.random.split(key)
+    x = jnp.abs(jax.random.normal(k1, (b, NS), dtype)) * 0.5 + 0.2
+    u0 = jnp.concatenate([x, jnp.full((b, 1), 330.0, dtype)], axis=1)
+    p = init_params_case2(k2, NS, NR).astype(dtype)
+    saveat = jnp.linspace(0.0, T1, 20, dtype=dtype)
+    return u0, p, saveat
+
+
+def _solve_per_lane(p, u0, saveat, unroll="scan"):
+    w = p2vec_case2(p, NS, NR)
+    rhs = make_crnn_arrhenius_rhs(LB, UB)
+    solver = Rosenbrock23(jac=make_crnn_arrhenius_jac(LB, UB))
+
+    def one(u0_i):
+        sol = odesolve(rhs, solver, u0_i, 0.0, T1, saveat, args=w,
+                       rtol=1e-3, atol=1e-6, max_steps=256, unroll=unroll)
+        return sol.ys, sol.success
+
+    return jax.vmap(one)(u0)
+
+
+def _solve_batch_major(p, u0, saveat, unroll="scan", force="xla"):
+    w = p2vec_case2(p, NS, NR)
+    rhs_op, rhs_jac_op = make_arrhenius_ops(LB, UB, force=force)
+    sol = batch_odesolve_rb23(
+        lambda t, y, w_: rhs_op(y, w_.w_in, w_.w_b, w_.w_out),
+        lambda t, y, w_: rhs_jac_op(y, w_.w_in, w_.w_b, w_.w_out),
+        u0, 0.0, T1, saveat, args=w,
+        rtol=1e-3, atol=1e-6, max_steps=256, unroll=unroll,
+    )
+    return sol.ys, sol.success
+
+
+def test_trajectory_parity_scan_and_while():
+    u0, p, saveat = _setup()
+    ys_lane, ok_lane = _solve_per_lane(p, u0, saveat)
+    assert np.all(np.asarray(ok_lane))
+    for unroll in ("scan", "while"):
+        ys_bm, ok_bm = _solve_batch_major(p, u0, saveat, unroll=unroll)
+        assert np.all(np.asarray(ok_bm))
+        np.testing.assert_allclose(np.asarray(ys_bm), np.asarray(ys_lane),
+                                   rtol=1e-8, atol=1e-10)
+
+
+def test_gradient_parity_vs_per_lane():
+    u0, p, saveat = _setup(b=4)
+
+    def loss_lane(p_):
+        ys, _ = _solve_per_lane(p_, u0, saveat)
+        return jnp.mean(jnp.abs(ys[:, :, :NS]))
+
+    def loss_bm(p_):
+        ys, _ = _solve_batch_major(p_, u0, saveat)
+        return jnp.mean(jnp.abs(ys[:, :, :NS]))
+
+    g_lane = jax.grad(loss_lane)(p)
+    g_bm = jax.grad(loss_bm)(p)
+    np.testing.assert_allclose(np.asarray(g_bm), np.asarray(g_lane),
+                               rtol=1e-6, atol=1e-9)
+
+
+def test_interpret_pallas_path_parity():
+    """The Pallas kernels (interpret mode on CPU) inside the batch driver
+    reproduce the XLA path bit-for-tolerance."""
+    u0, p, saveat = _setup(b=4, dtype=jnp.float32)
+    ys_xla, ok1 = _solve_batch_major(p, u0, saveat, force="xla")
+    ys_pal, ok2 = _solve_batch_major(p, u0, saveat, force="interpret")
+    assert np.all(np.asarray(ok1)) and np.all(np.asarray(ok2))
+    np.testing.assert_allclose(np.asarray(ys_pal), np.asarray(ys_xla),
+                               rtol=5e-5, atol=5e-6)
+
+
+def test_case2_batch_major_epoch_matches_plain():
+    """One batch-mode epoch with the batch-major loss lands on the same
+    loss/params as the vmapped per-lane path."""
+    from crnn_tpu.cases.case2 import Case2Config, build
+
+    cfg = dict(solver="rosenbrock23", mode="batch", max_steps=96,
+               datasize=10, n_exp_train=4, n_exp_test=2)
+    s_plain = build(Case2Config(**cfg))
+    s_bm = build(Case2Config(**cfg, batch_major=True, rhs_force="xla"))
+    st1 = s_plain.trainer.init(s_plain.init_params)
+    st2 = s_bm.trainer.init(s_bm.init_params)
+    st1, m1 = s_plain.trainer.epoch_fn()(st1)
+    st2, m2 = s_bm.trainer.epoch_fn()(st2)
+    np.testing.assert_allclose(float(m2.loss_train), float(m1.loss_train),
+                               rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(st2.params), np.asarray(st1.params),
+                               rtol=1e-4, atol=1e-7)

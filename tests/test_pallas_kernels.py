@@ -63,3 +63,86 @@ def test_auto_dispatch_small_batch_uses_xla():
     out = crnn_rhs_batched(y, w_in, w_b, w_out, 1e-5, 10.0)  # auto: XLA path
     ref = crnn_rhs_batched_reference(y, w_in, w_b, w_out, 1e-5, 10.0)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-6)
+
+
+def _setup_arrhenius(b=16, ns=6, nr=3, dtype=jnp.float32, temp=330.0):
+    key = jax.random.PRNGKey(7)
+    k1, k2, k3, k4 = jax.random.split(key, 4)
+    x = jnp.abs(jax.random.normal(k1, (b, ns), dtype)) + 0.05
+    y = jnp.concatenate([x, jnp.full((b, 1), temp, dtype)], axis=1)
+    w_in = jnp.abs(jax.random.normal(k2, (ns + 1, nr), dtype))
+    w_b = jax.random.normal(k3, (nr,), dtype)
+    w_out = jax.random.normal(k4, (ns, nr), dtype)
+    return y, w_in, w_b, w_out
+
+
+def test_arrhenius_rhs_kernel_matches_reference():
+    from crnn_tpu.ops.crnn_kernels import (
+        arrhenius_rhs_batched, arrhenius_rhs_batched_reference,
+    )
+
+    y, w_in, w_b, w_out = _setup_arrhenius()
+    ref = arrhenius_rhs_batched_reference(y, w_in, w_b, w_out, 1e-6, 10.0)
+    out = arrhenius_rhs_batched(y, w_in, w_b, w_out, 1e-6, 10.0,
+                                force="interpret")
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-6, atol=2e-6)
+
+
+def test_arrhenius_jac_kernel_matches_reference_and_ad():
+    from crnn_tpu.models.crnn import make_crnn_arrhenius_rhs
+    from crnn_tpu.ops.crnn_kernels import (
+        arrhenius_rhs_jac_batched, arrhenius_rhs_jac_batched_reference,
+    )
+    from crnn_tpu.transforms.p2vec import CRNNWeights
+
+    y, w_in, w_b, w_out = _setup_arrhenius(b=8, ns=6, nr=3,
+                                           dtype=jnp.float64)
+    lb, ub = 1e-6, 10.0
+    du_ref, j_ref = arrhenius_rhs_jac_batched_reference(y, w_in, w_b, w_out,
+                                                        lb, ub)
+    du, j = arrhenius_rhs_jac_batched(y, w_in, w_b, w_out, lb, ub,
+                                      force="interpret")
+    np.testing.assert_allclose(np.asarray(du), np.asarray(du_ref),
+                               rtol=2e-6, atol=2e-6)
+    np.testing.assert_allclose(np.asarray(j), np.asarray(j_ref),
+                               rtol=2e-6, atol=2e-6)
+    # reference Jacobian agrees with forward-mode AD of the per-lane RHS
+    rhs = make_crnn_arrhenius_rhs(lb, ub)
+    w = CRNNWeights(w_in=w_in, w_b=w_b, w_out=w_out)
+    for i in range(3):
+        j_ad = jax.jacfwd(lambda yy: rhs(0.0, yy, w))(y[i])
+        np.testing.assert_allclose(np.asarray(j_ref[i]), np.asarray(j_ad),
+                                   rtol=1e-9, atol=1e-10)
+
+
+def test_arrhenius_op_gradients_match_reference():
+    """custom_vjp ops: gradients equal direct AD of the reference impl."""
+    from crnn_tpu.ops.crnn_kernels import (
+        arrhenius_rhs_batched_reference, make_arrhenius_ops,
+    )
+
+    y, w_in, w_b, w_out = _setup_arrhenius(b=8, dtype=jnp.float64)
+    lb, ub = 1e-6, 10.0
+    rhs_op, rhs_jac_op = make_arrhenius_ops(lb, ub, force="xla")
+
+    def f_op(w_in_, w_b_, w_out_):
+        return jnp.sum(rhs_op(y, w_in_, w_b_, w_out_) ** 2)
+
+    def f_ref(w_in_, w_b_, w_out_):
+        return jnp.sum(
+            arrhenius_rhs_batched_reference(y, w_in_, w_b_, w_out_,
+                                            lb, ub) ** 2)
+
+    g_op = jax.grad(f_op, argnums=(0, 1, 2))(w_in, w_b, w_out)
+    g_ref = jax.grad(f_ref, argnums=(0, 1, 2))(w_in, w_b, w_out)
+    for a, b_ in zip(g_op, g_ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                   rtol=1e-10, atol=1e-12)
+
+    def fj_op(w_in_):
+        du, jac = rhs_jac_op(y, w_in_, w_b, w_out)
+        return jnp.sum(du ** 2) + jnp.sum(jac ** 2)
+
+    g1 = jax.grad(fj_op)(w_in)
+    assert np.all(np.isfinite(np.asarray(g1)))
