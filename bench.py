@@ -35,7 +35,11 @@ import jax.numpy as jnp
 def main() -> None:
     from crnn_tpu.cases.case2 import Case2Config, build
 
-    cfg = Case2Config(mode="batch", solver="rosenbrock23")
+    # fastest framework path: batch-major Rosenbrock with the rank-nr
+    # Woodbury W-solve (ode/batch_solve.py) — 8.7 ms vs 20.7 ms for the
+    # dense per-lane path on TPU v5e (round-2 measurement)
+    cfg = Case2Config(mode="batch", solver="rosenbrock23",
+                      batch_major=True, jac_mode="lowrank")
     setup = build(cfg)
     trainer = setup.trainer
     state = trainer.init(setup.init_params)

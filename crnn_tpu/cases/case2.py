@@ -65,8 +65,11 @@ class Case2Config:
     # batch-major solve path: whole-batch fused RHS+Jacobian per step
     # through the Pallas kernels (ode/batch_solve.py, ops/crnn_kernels.py).
     # rhs_force: None (auto dispatch) | 'pallas' | 'xla'.
+    # jac_mode: 'dense' (full W Gauss-Jordan) | 'lowrank' (rank-nr Woodbury
+    # W-solve — the speed-of-light implicit step for nr < ns).
     batch_major: bool = False
     rhs_force: Optional[str] = None
+    jac_mode: str = "dense"
 
     @property
     def n_exp(self) -> int:
@@ -140,19 +143,26 @@ def build(cfg: Case2Config = Case2Config()) -> CaseSetup:
         # batch-major solve: ONE fused Pallas RHS+Jacobian evaluation of the
         # whole experiment batch per Rosenbrock step (SURVEY.md §7 step 6)
         from crnn_tpu.ode.batch_solve import batch_odesolve_rb23
-        from crnn_tpu.ops.crnn_kernels import make_arrhenius_ops
+        from crnn_tpu.ops.crnn_kernels import (
+            make_arrhenius_factor_op, make_arrhenius_ops,
+        )
 
         rhs_op, rhs_jac_op = make_arrhenius_ops(cfg.lb, cfg.ub,
                                                 force=cfg.rhs_force)
+        if cfg.jac_mode == "lowrank":
+            factor_op = make_arrhenius_factor_op(cfg.lb, cfg.ub)
+            fjac = lambda t, y, w_: factor_op(y, w_.w_in, w_.w_b, w_.w_out)
+        else:
+            fjac = lambda t, y, w_: rhs_jac_op(y, w_.w_in, w_.w_b, w_.w_out)
 
         def predict_batch(p, u0_b, unroll):
             w = weights_fn(p)
             sol = batch_odesolve_rb23(
                 lambda t, y, w_: rhs_op(y, w_.w_in, w_.w_b, w_.w_out),
-                lambda t, y, w_: rhs_jac_op(y, w_.w_in, w_.w_b, w_.w_out),
+                fjac,
                 u0_b, 0.0, t1, saveat, args=w,
                 rtol=cfg.rtol, atol=cfg.atol, max_steps=cfg.max_steps,
-                unroll=unroll,
+                unroll=unroll, jac_mode=cfg.jac_mode,
             )
             return jnp.clip(sol.ys[:, :, : cfg.ns], -cfg.ub, cfg.ub)
 

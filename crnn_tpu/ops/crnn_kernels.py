@@ -296,8 +296,16 @@ def crnn_rhs_jac_batched(y, w_in, w_b, w_out, lb, ub, exp_cap=_EXP_CAP,
 # ---------------------------------------------------------------------------
 
 def arrhenius_rhs_batched(y, w_in, w_b, w_out, lb, ub, exp_cap=_EXP_CAP,
-                          min_pallas_batch: int = 8, force=None):
-    """Batched Arrhenius RHS; Pallas on TPU, XLA otherwise."""
+                          min_pallas_batch: int = 4096, force=None):
+    """Batched Arrhenius RHS; Pallas on TPU, XLA otherwise.
+
+    Measured on TPU v5e (round 2): inside the batch-major Rosenbrock solve
+    the XLA path is faster at every batch size tried (B=32..2048, e.g.
+    B=512: 35 ms vs 61 ms per forward solve) — at 7-wide lanes the kernels
+    are launch-overhead-bound and XLA fuses this op chain well. Auto
+    dispatch therefore effectively prefers XLA; force='pallas' remains for
+    benchmarking. The winning optimisation at this scale is algorithmic:
+    the rank-nr Woodbury W-solve (jac_mode='lowrank', ode/batch_solve.py)."""
     if force == "xla" or (force is None and (
             y.shape[0] < min_pallas_batch or not _on_tpu())):
         return arrhenius_rhs_batched_reference(y, w_in, w_b, w_out, lb, ub,
@@ -308,7 +316,7 @@ def arrhenius_rhs_batched(y, w_in, w_b, w_out, lb, ub, exp_cap=_EXP_CAP,
 
 
 def arrhenius_rhs_jac_batched(y, w_in, w_b, w_out, lb, ub, exp_cap=_EXP_CAP,
-                              min_pallas_batch: int = 8, force=None):
+                              min_pallas_batch: int = 4096, force=None):
     """Batched fused Arrhenius (du, J); dispatch as above."""
     if force == "xla" or (force is None and (
             y.shape[0] < min_pallas_batch or not _on_tpu())):
@@ -317,6 +325,42 @@ def arrhenius_rhs_jac_batched(y, w_in, w_b, w_out, lb, ub, exp_cap=_EXP_CAP,
     interpret = force == "interpret" or not _on_tpu()
     return _arrh_rhs_jac_pallas(y, w_in, w_b, w_out, float(lb), float(ub),
                                 float(exp_cap), interpret)
+
+
+def arrhenius_rhs_jac_factors_reference(y, w_in, w_b, w_out, lb, ub,
+                                        exp_cap=_EXP_CAP):
+    """(du, U, V) with J = U @ V exactly (rank nr):
+    U = [w_out; 0] (ns+1, nr) shared across lanes, V (B, nr, ns+1) =
+    diag(rates[b]) @ [w_in_x^T diag(dlog[b]) | w_in_ea * dt_feat[b]].
+    Feeds the Woodbury W-solve in ode/batch_solve.py (jac_mode='lowrank')."""
+    b = y.shape[0]
+    ns, nr = w_out.shape
+    x, temp = y[:, :ns], y[:, ns]
+    xc = jnp.clip(x, lb, ub)
+    logx = jnp.log(xc)
+    z = logx @ w_in[:ns] + (_INV_R_KCAL / temp)[:, None] * w_in[ns][None, :]
+    rates = jnp.exp(jnp.minimum(z + w_b[None, :], exp_cap))
+    du = jnp.concatenate(
+        [rates @ w_out.T, jnp.zeros((b, 1), y.dtype)], axis=1)
+    u_fac = jnp.concatenate([w_out, jnp.zeros((1, nr), y.dtype)], axis=0)
+    in_range = ((x > lb) & (x < ub)).astype(y.dtype)
+    dlog = in_range / xc                                         # (B, ns)
+    dt_feat = (-_INV_R_KCAL) / (temp * temp)                     # (B,)
+    v_x = w_in[:ns].T[None, :, :] * dlog[:, None, :]             # (B, nr, ns)
+    v_t = w_in[ns][None, :, None] * dt_feat[:, None, None]       # (B, nr, 1)
+    v_fac = rates[:, :, None] * jnp.concatenate([v_x, v_t], axis=2)
+    return du, u_fac, v_fac
+
+
+def make_arrhenius_factor_op(lb: float, ub: float, exp_cap: float = _EXP_CAP):
+    """Differentiable (du, U, V) factor op (XLA; the math is already three
+    fused small matmuls — no kernel needed)."""
+
+    def op(y, w_in, w_b, w_out):
+        return arrhenius_rhs_jac_factors_reference(y, w_in, w_b, w_out,
+                                                   lb, ub, exp_cap)
+
+    return op
 
 
 def make_arrhenius_ops(lb: float, ub: float, exp_cap: float = _EXP_CAP,

@@ -112,3 +112,48 @@ def test_case2_batch_major_epoch_matches_plain():
                                rtol=1e-5)
     np.testing.assert_allclose(np.asarray(st2.params), np.asarray(st1.params),
                                rtol=1e-4, atol=1e-7)
+
+
+def test_lowrank_woodbury_parity():
+    """Low-rank Woodbury W-solve reproduces the dense path exactly:
+    J = U @ V is an identity, not an approximation."""
+    from crnn_tpu.ops.crnn_kernels import (
+        arrhenius_rhs_jac_batched_reference,
+        arrhenius_rhs_jac_factors_reference, make_arrhenius_factor_op,
+    )
+
+    u0, p, saveat = _setup(b=5)
+    w = p2vec_case2(p, NS, NR)
+    # factorisation identity: U @ V == dense J
+    _, j_dense = arrhenius_rhs_jac_batched_reference(
+        u0, w.w_in, w.w_b, w.w_out, LB, UB)
+    _, u_fac, v_fac = arrhenius_rhs_jac_factors_reference(
+        u0, w.w_in, w.w_b, w.w_out, LB, UB)
+    np.testing.assert_allclose(
+        np.asarray(jnp.einsum("jq,bqk->bjk", u_fac, v_fac)),
+        np.asarray(j_dense), rtol=1e-12, atol=1e-14)
+
+    # full solve parity (trajectories + gradients)
+    factor_op = make_arrhenius_factor_op(LB, UB)
+    rhs_op, _ = make_arrhenius_ops(LB, UB, force="xla")
+
+    def solve_lr(p_):
+        w_ = p2vec_case2(p_, NS, NR)
+        sol = batch_odesolve_rb23(
+            lambda t, y, ww: rhs_op(y, ww.w_in, ww.w_b, ww.w_out),
+            lambda t, y, ww: factor_op(y, ww.w_in, ww.w_b, ww.w_out),
+            u0, 0.0, T1, saveat, args=w_, rtol=1e-3, atol=1e-6,
+            max_steps=256, unroll="scan", jac_mode="lowrank")
+        return sol.ys, sol.success
+
+    ys_lr, ok = solve_lr(p)
+    ys_dense, _ = _solve_batch_major(p, u0, saveat)
+    assert np.all(np.asarray(ok))
+    np.testing.assert_allclose(np.asarray(ys_lr), np.asarray(ys_dense),
+                               rtol=1e-7, atol=1e-9)
+
+    g_lr = jax.grad(lambda p_: jnp.mean(jnp.abs(solve_lr(p_)[0][:, :, :NS])))(p)
+    g_dense = jax.grad(
+        lambda p_: jnp.mean(jnp.abs(_solve_batch_major(p_, u0, saveat)[0][:, :, :NS])))(p)
+    np.testing.assert_allclose(np.asarray(g_lr), np.asarray(g_dense),
+                               rtol=1e-5, atol=1e-8)
