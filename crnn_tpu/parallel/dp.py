@@ -33,20 +33,24 @@ def make_dp_train_step(
     """
 
     def local_loss_and_grad(params, u0_l, ys_l, mask_l, wgt_l):
-        def weighted_loss(p):
+        # Differentiate the LOCAL weighted loss sum, then reduce explicitly.
+        # Do NOT differentiate through psum: with check_vma=False the
+        # transpose of psum inside shard_map is not replication-aware, and
+        # grad(psum(s)/psum(n)) silently yields each device's LOCAL chunk
+        # gradient instead of the global mean (caught by
+        # tests/test_scale_demo.py at 256 experiments / 8 devices).
+        def local_sum(p):
             losses = jax.vmap(loss_on_data, in_axes=(None, 0, 0, 0))(
                 p, u0_l, ys_l, mask_l
             )
-            return jnp.sum(losses * wgt_l), jnp.sum(wgt_l)
+            return jnp.sum(losses * wgt_l)
 
-        def mean_loss(p):
-            s, n = weighted_loss(p)
-            # global weighted mean: psum both numerator and denominator
-            s = jax.lax.psum(s, axis_name)
-            n = jax.lax.psum(n, axis_name)
-            return s / n
-
-        loss, g = jax.value_and_grad(mean_loss)(params)
+        s, g_local = jax.value_and_grad(local_sum)(params)
+        n = jax.lax.psum(jnp.sum(wgt_l), axis_name)
+        loss = jax.lax.psum(s, axis_name) / n
+        g = jax.tree.map(
+            lambda x: jax.lax.psum(x, axis_name) / n, g_local
+        )
         return loss, g
 
     smapped = jax.shard_map(
