@@ -32,11 +32,16 @@ class Case1RevConfig:
     ns: int = 5
     nr: int = 10            # over-parameterised vs 4 true reversible pairs
     datasize: int = 100
-    tstep: float = 0.4
+    tstep: float = 0.1     # tspan [0, 10] (case1 rev/case1.jl:21-22) — round-1
+                           # used 0.4 (t1=40), which parks 3/4 of every
+                           # trajectory at equilibrium and was a main cause of
+                           # the val ~0.65 plateau
     n_exp_train: int = 20
     n_exp_test: int = 10
-    noise: float = 5e-2
-    lr: float = 1e-3
+    noise: float = 1e-3    # reference noise (case1 rev/case1.jl:25)
+    lr: float = 1e-3       # reference: ADAMW 1e-4 x 20 sequential updates
+                           # per epoch (:19); batch mode takes 1 full-batch
+                           # step per epoch, so 1e-3 is the matched scale
     weight_decay: float = 1e-8
     atol: float = 1e-5
     rtol: float = 1e-2

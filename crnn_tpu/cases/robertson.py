@@ -50,6 +50,12 @@ class RobertsonConfig:
     seed: int = 1234
     max_steps: int = 192
     mode: str = "batch"
+    # training dtype: the reference runs Float64 (rober_crnn.jl:40) because
+    # y2 ~ 3.6e-5 rides on y1 ~ 1; "float32" is the TPU-native experiment
+    # (f64 on TPU is double-float emulation, ~6x slower) — truth data is
+    # always generated in f64 and cast down, so only the training solve and
+    # gradient run in f32.
+    dtype: str = "float64"
 
     @property
     def n_exp(self) -> int:
@@ -64,8 +70,9 @@ class RobertsonConfig:
 def build(cfg: RobertsonConfig = RobertsonConfig()) -> CaseSetup:
     from crnn_tpu.infra.runtime import enable_x64
 
-    enable_x64()
+    enable_x64()  # truth generation is always f64
     dtype = jnp.float64
+    train_dtype = jnp.dtype(cfg.dtype)
     key = jax.random.PRNGKey(cfg.seed)
     k_u0, k_lhc, k_noise, k_p = jax.random.split(key, 4)
 
@@ -84,6 +91,12 @@ def build(cfg: RobertsonConfig = RobertsonConfig()) -> CaseSetup:
         rtol=1e-8, atol=jnp.array([1e-10, 1e-12, 1e-10]), noise=cfg.noise,
         scale_mode="max_min", scale_lb=0.0,
     )
+    if train_dtype != dtype:
+        dataset = dataset._replace(
+            **{f: jnp.asarray(getattr(dataset, f), train_dtype)
+               for f in ("u0", "ys", "ys_clean", "ts", "yscale")}
+        )
+        saveat = saveat.astype(train_dtype)
     dydt_scale = dataset.yscale / t1
 
     rhs = make_crnn_scaled_rhs(cfg.lb, jnp.inf, dydt_scale, exp_cap=32.0)
@@ -98,7 +111,8 @@ def build(cfg: RobertsonConfig = RobertsonConfig()) -> CaseSetup:
         w = weights_fn(p)
         sol = odesolve(
             rhs, solver, u0_i, 0.0, t1, saveat, args=w,
-            rtol=cfg.rtol, atol=cfg.atol, max_steps=cfg.max_steps,
+            rtol=cfg.rtol, atol=cfg.atol.astype(train_dtype),
+            max_steps=cfg.max_steps,
             unroll=unroll,
         )
         return sol.ys
@@ -127,7 +141,8 @@ def build(cfg: RobertsonConfig = RobertsonConfig()) -> CaseSetup:
     setup = CaseSetup(
         name="robertson",
         trainer=trainer,
-        init_params=init_params_robertson(k_p, cfg.ns, cfg.nr, dtype=dtype),
+        init_params=init_params_robertson(k_p, cfg.ns, cfg.nr,
+                                          dtype=train_dtype),
         predict=jax.jit(lambda p, i: predict_from_u0(p, dataset.u0[i])),
         weights_fn=weights_fn,
         dataset=dataset,
