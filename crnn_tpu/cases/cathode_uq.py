@@ -229,6 +229,10 @@ if __name__ == "__main__":
     ap = argparse.ArgumentParser()
     ap.add_argument("--iters", type=int, default=200)
     ap.add_argument("--particles", type=int, default=100)
+    ap.add_argument("--solver", default="trbdf2",
+                    help="trbdf2 (reference AutoTsit5(TRBDF2) analogue) or "
+                         "rosenbrock23 (~4x faster per SVGD iteration on TPU "
+                         "at matched likelihood, round-2 measurement)")
     ap.add_argument("--p-opt", default=None,
                     help="path to the deterministic optimum (p_opt.npy from "
                          "the cathode run) to warm-start the ensemble, as the "
@@ -238,9 +242,15 @@ if __name__ == "__main__":
                          "(the reference's measured data); omit for the "
                          "synthetic surrogate")
     ap.add_argument("--out", default="runs")
+    ap.add_argument("--decay-epochs", type=int, default=500,
+                    help="stepsize decay cadence (UQ config.yaml:32: 0.95 "
+                         "every 500 of 25000 iters = 50 decays over the run; "
+                         "to traverse the same annealing schedule in fewer "
+                         "iterations, shrink proportionally)")
     args = ap.parse_args()
     cfg = CathodeUQConfig(n_iters=args.iters, num_particles=args.particles,
-                          data_dir=args.data_dir)
+                          data_dir=args.data_dir, solver=args.solver,
+                          stepsize_decay_epochs=args.decay_epochs)
     p_opt = np.load(args.p_opt) if args.p_opt else None
     particles, info = run_uq(cfg, p_opt=p_opt)
     import os
