@@ -100,6 +100,32 @@ def test_robertson_stochastic_horizon_and_clip():
     assert np.isfinite(float(m.grad_norm))
 
 
+def test_robertson_float32_training_path():
+    """The f32 training experiment (RobertsonConfig.dtype): truth data is
+    generated in f64 and cast; training state stays f32; the first epochs'
+    losses track the f64 path closely at identical params."""
+    from crnn_tpu.cases.robertson import RobertsonConfig, build
+
+    s32 = build(RobertsonConfig(n_exp_train=4, n_exp_val=1, datasize=16,
+                                max_steps=256, dtype="float32"))
+    s64 = build(RobertsonConfig(n_exp_train=4, n_exp_val=1, datasize=16,
+                                max_steps=256, dtype="float64"))
+    assert s32.init_params.dtype == jnp.float32
+    assert s32.dataset.ys.dtype == jnp.float32
+    # identical data up to cast (same seed, f64 generation)
+    np.testing.assert_allclose(np.asarray(s32.dataset.ys),
+                               np.asarray(s64.dataset.ys, np.float32),
+                               rtol=1e-6)
+    mask32 = jnp.ones((16,), jnp.float32)
+    mask64 = jnp.ones((16,), jnp.float64)
+    p64 = s64.init_params
+    l32 = float(s32.extras["loss_i_exp"](p64.astype(jnp.float32), 0, mask32))
+    l64 = float(s64.extras["loss_i_exp"](p64, 0, mask64))
+    assert abs(l32 - l64) / abs(l64) < 1e-3
+    _, _, last, _ = _run_epochs(s32, 3)
+    assert np.isfinite(last)
+
+
 def test_lm_finisher_quadratic():
     """LM solves a small nonlinear least-squares exactly."""
     from crnn_tpu.train.lm import levenberg_marquardt
