@@ -108,11 +108,19 @@ class ParticleHistory:
         self.snapshots: list = []
 
     def maybe_record(self, iteration: int, particles) -> None:
+        # store the (immutable) device array without forcing a host sync —
+        # on a remote-tunnel TPU every transfer is a full round-trip, so the
+        # conversion is deferred to tensor()
         if (iteration + 1) % self.gap == 0:
-            self.snapshots.append(np.asarray(particles).copy())
+            self.snapshots.append(particles)
 
     def tensor(self) -> np.ndarray:
-        return np.stack(self.snapshots) if self.snapshots else np.empty((0,))
+        if not self.snapshots:
+            return np.empty((0,))
+        import jax.numpy as jnp
+
+        # stack on device, transfer ONCE (vs one round-trip per snapshot)
+        return np.asarray(jnp.stack([jnp.asarray(s) for s in self.snapshots]))
 
 
 def animate_particle_evolution(history: np.ndarray, path: str,
