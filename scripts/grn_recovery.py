@@ -100,11 +100,29 @@ def main(p_path, out_dir="runs/grn"):
                  f"(cos > 0.95, residual L1 < 0.35) by {n_clean} learned rows.")
     if missing:
         lines.append(f"\nUnmatched true reactions: {', '.join(missing)}.")
+    # pruned evaluation + weights.csv (gene-regulatory-pruning.jl:232-294)
+    cfg_pruned = grn_config()
+    cfg_pruned.p_cutoff = 0.01
+    setup_p = build(cfg_pruned)
+    losses_p = np.asarray(jax.vmap(
+        lambda i: setup_p.trainer.loss_i_exp(p, i, mask))(
+            jnp.arange(cfg.n_exp)))
+    lt_p = float(losses_p[:cfg.n_exp_train].mean())
+    lv_p = float(losses_p[cfg.n_exp_train:].mean())
+    from crnn_tpu.infra.export import export_weights_csv
+
+    export_weights_csv(setup_p.weights_fn(jnp.asarray(p)),
+                       os.path.join(out_dir, "weights.csv"),
+                       np.asarray(setup_p.dydt_scale))
+    lines.append(f"\nPruned (relative cutoff 0.01, "
+                 f"gene-regulatory-pruning.jl:243-248): train {lt_p:.4f} / "
+                 f"val {lv_p:.4f}; table exported to weights.csv.")
     os.makedirs(out_dir, exist_ok=True)
     out = os.path.join(out_dir, "mechanism_recovery.md")
     with open(out, "w") as f:
         f.write("\n".join(lines) + "\n")
-    print(f"wrote {out}: {len(matched)}/15 matched, train {lt:.4f} val {lv:.4f}")
+    print(f"wrote {out}: {len(matched)}/15 matched, train {lt:.4f} val {lv:.4f}"
+          f" (pruned: {lt_p:.4f}/{lv_p:.4f})")
 
 
 if __name__ == "__main__":
