@@ -24,7 +24,10 @@ unified to cubic Hermite (both branches expose endpoint slopes).
 Note on vmap cost: the per-step branch is a ``lax.cond``; under ``vmap``
 XLA executes both branches and selects. For heavily batched training
 loops where the regime is known, prefer a static solver choice; AutoSwitch
-buys robustness for unknown problems at <= 2x step cost.
+buys robustness for unknown problems at <= 2x step cost. For unknown
+batches, ``ode/stiffness.py`` classifies lanes ONCE with a cheap explicit
+probe so the epoch loop can run two statically-chosen vmapped solves with
+no dead branch.
 """
 
 from __future__ import annotations
