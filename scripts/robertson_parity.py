@@ -70,14 +70,14 @@ def match(ours, ref):
     return best
 
 
-def main(p_path, out_md):
+def main(p_path, out_md, seed=1234):
     import jax.numpy as jnp
 
     from crnn_tpu.cases.robertson import RobertsonConfig, build
     from crnn_tpu.transforms.p2vec import p2vec_robertson
 
     p = np.load(p_path)
-    setup = build(RobertsonConfig())
+    setup = build(RobertsonConfig(seed=seed))
     w = p2vec_robertson(jnp.asarray(p, jnp.float64), 3, 6)
     w_in = np.asarray(w.w_in).T          # (nr, ns): reaction rows
     w_out = np.asarray(w.w_out).T        # (nr, ns)
@@ -141,4 +141,5 @@ def main(p_path, out_md):
 
 if __name__ == "__main__":
     p_path = sys.argv[1] if len(sys.argv) > 1 else "runs/robertson_long/p_final.npy"
-    main(p_path, "runs/robertson_long/parity.md")
+    seed = int(sys.argv[2]) if len(sys.argv) > 2 else 1234
+    main(p_path, "runs/robertson_long/parity.md", seed=seed)
