@@ -192,7 +192,12 @@ def run_uq(cfg: CathodeUQConfig = CathodeUQConfig(),
     (lax.scan over the permutation), and per-update losses stay on device —
     on a remote-tunnel TPU a host sync per update costs a full round-trip,
     which dominated the per-iteration time (round-2 measurement: ~2 s/iter
-    with per-update float() syncs vs ~0.7 s fused)."""
+    with per-update float() syncs vs ~0.7 s fused). One consequence: the
+    validation loss is evaluated once AFTER all of the iteration's updates
+    rather than at the val experiment's position inside the shuffled
+    permutation (the reference interleaves it), so per-iteration loss
+    curves are deterministic but not step-for-step identical to the
+    reference's logs."""
     particles, svgd_iteration, ex = build_uq(cfg, p_opt)
     rng = np.random.default_rng(cfg.seed)
     history = ParticleHistory(cfg.gap)

@@ -44,6 +44,13 @@ def classify_stiffness(
     ``probe_steps`` steps, or consumes more than ``dense_fraction`` of the
     budget — i.e. the explicit method is stability-limited, not
     accuracy-limited, on this horizon.
+
+    Pass the TRAINING solve's ``rtol``/``atol`` so the probe's step-count
+    reflects the real workload. Misclassification is conservative: an
+    accuracy-limited (e.g. oscillatory/long-horizon) nonstiff lane that
+    trips ``dense_fraction`` is merely routed to the implicit group —
+    correct, just slower; no stiff lane can be routed to the explicit
+    group unless the explicit probe actually finished within budget.
     """
     saveat = jnp.asarray([t1], u0_batch.dtype)
 

@@ -110,16 +110,22 @@ class ParticleHistory:
     def maybe_record(self, iteration: int, particles) -> None:
         # store the (immutable) device array without forcing a host sync —
         # on a remote-tunnel TPU every transfer is a full round-trip, so the
-        # conversion is deferred to tensor()
+        # conversion is deferred to tensor(). Mutable host buffers (plain
+        # numpy) would alias across snapshots, so those are copied eagerly.
         if (iteration + 1) % self.gap == 0:
+            if isinstance(particles, np.ndarray):
+                particles = particles.copy()
             self.snapshots.append(particles)
 
     def tensor(self) -> np.ndarray:
         if not self.snapshots:
             return np.empty((0,))
+        # numpy snapshots stack on host (preserves float64 regardless of the
+        # jax x64 flag); device snapshots stack on device, transfer ONCE
+        if isinstance(self.snapshots[0], np.ndarray):
+            return np.stack(self.snapshots)
         import jax.numpy as jnp
 
-        # stack on device, transfer ONCE (vs one round-trip per snapshot)
         return np.asarray(jnp.stack([jnp.asarray(s) for s in self.snapshots]))
 
 

@@ -82,6 +82,7 @@ def main(p_path, out_dir="runs/grn"):
 
     from crnn_tpu.cases.case3 import build, grn_config
 
+    os.makedirs(out_dir, exist_ok=True)
     cfg = grn_config()
     setup = build(cfg)
     p = np.load(p_path)

@@ -102,8 +102,9 @@ def test_case2_batch_major_epoch_matches_plain():
 
     cfg = dict(solver="rosenbrock23", mode="batch", max_steps=96,
                datasize=10, n_exp_train=4, n_exp_test=2)
-    s_plain = build(Case2Config(**cfg))
-    s_bm = build(Case2Config(**cfg, batch_major=True, rhs_force="xla"))
+    s_plain = build(Case2Config(**cfg, batch_major=False))
+    s_bm = build(Case2Config(**cfg, batch_major=True, jac_mode="dense",
+                             rhs_force="xla"))
     st1 = s_plain.trainer.init(s_plain.init_params)
     st2 = s_bm.trainer.init(s_bm.init_params)
     st1, m1 = s_plain.trainer.epoch_fn()(st1)
