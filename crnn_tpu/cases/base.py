@@ -36,6 +36,10 @@ class CaseSetup:
     dydt_scale: Optional[jnp.ndarray] = None
     species: Optional[list] = None
     logx_plots: bool = False
+    # data-parallel hook: (params, u0_i, ys_i, mask_i) -> scalar loss on
+    # explicit data values (index-free, so batch shards can live on
+    # different devices); enables run_case(..., dp=N) via parallel/dp.py
+    loss_on_data: Optional[Callable] = None
     extras: dict = field(default_factory=dict)
 
 
@@ -47,8 +51,23 @@ def run_case(
     restart: bool = False,
     seed: int = 0,
     log_every: int = 10,
+    dp: int = 0,
 ) -> tuple[TrainState, dict]:
-    """Train a case end-to-end with periodic observability + checkpoints."""
+    """Train a case end-to-end with periodic observability + checkpoints.
+
+    ``dp>0`` trains data-parallel over a ``dp``-device mesh (``dp=-1`` =
+    all visible devices) via parallel/dp_runner.py; requires the case to
+    define ``loss_on_data``.
+    """
+    if dp:
+        from crnn_tpu.parallel.dp_runner import run_case_dp
+
+        return run_case_dp(
+            setup, n_epoch,
+            n_devices=(None if dp < 0 else dp),
+            out_dir=out_dir, n_plot=n_plot, restart=restart, seed=seed,
+            log_every=log_every,
+        )
     run_dir = os.path.join(out_dir, setup.name)
     fig_dir = os.path.join(run_dir, "figs")
     ckpt_path = os.path.join(run_dir, "checkpoint.msgpack")

@@ -104,6 +104,10 @@ def build(cfg: Case1Config = Case1Config()) -> CaseSetup:
         # gradient-free eval pass: early-exiting while driver
         return loss_i_exp(p, i_exp, mask, unroll="while")
 
+    def loss_on_data(p, u0_i, ys_i, mask_i):
+        # index-free loss for data-parallel sharding (parallel/dp_runner.py)
+        return loss_fn(predict_from_u0(p, u0_i), ys_i, mask_i)
+
     trainer = Trainer(
         loss_i_exp=loss_i_exp,
         loss_i_exp_eval=loss_i_exp_eval,
@@ -132,6 +136,7 @@ def build(cfg: Case1Config = Case1Config()) -> CaseSetup:
         weights_fn=weights_fn,
         dataset=dataset,
         species=["A", "B", "C", "D", "E"],
+        loss_on_data=loss_on_data,
     )
 
 
@@ -144,7 +149,9 @@ if __name__ == "__main__":
     ap.add_argument("--restart", action="store_true")
     ap.add_argument("--p-cutoff", type=float, default=0.0)
     ap.add_argument("--out", default="runs")
+    ap.add_argument("--dp", type=int, default=0,
+                    help="data-parallel over N devices (-1 = all)")
     args = ap.parse_args()
     setup = build(Case1Config(mode=args.mode, p_cutoff=args.p_cutoff))
     run_case(setup, n_epoch=args.epochs, out_dir=args.out,
-             restart=args.restart)
+             restart=args.restart, dp=args.dp)

@@ -149,17 +149,34 @@ def build(cfg: Case2Config = Case2Config()) -> CaseSetup:
     def loss_i_exp_eval(p, i_exp, mask):
         return loss_i_exp(p, i_exp, mask, unroll="while")
 
+    def loss_on_data(p, u0_i, ys_i, mask_i):
+        # index-free loss for data-parallel sharding (parallel/dp_runner.py)
+        return loss_fn(predict_from_u0(p, u0_i), ys_i, mask_i)
+
+    grad_mode = cfg.grad_mode or (
+        "fwd" if cfg.mode == "sequential" else "rev")
+
     loss_batch = loss_batch_eval = None
     if cfg.batch_major:
         # batch-major solve: ONE fused Pallas RHS+Jacobian evaluation of the
         # whole experiment batch per Rosenbrock step (SURVEY.md §7 step 6)
         from crnn_tpu.ode.batch_solve import batch_odesolve_rb23
         from crnn_tpu.ops.crnn_kernels import (
+            arrhenius_rhs_batched_reference, arrhenius_rhs_jac_batched_reference,
             make_arrhenius_factor_op, make_arrhenius_ops,
         )
 
-        rhs_op, rhs_jac_op = make_arrhenius_ops(cfg.lb, cfg.ub,
-                                                force=cfg.rhs_force)
+        if grad_mode == "fwd":
+            # custom_vjp ops have no jvp rule; forward-mode goes through the
+            # plain XLA reference ops (differentiable in both modes)
+            rhs_op = lambda y, wi, wb, wo: arrhenius_rhs_batched_reference(
+                y, wi, wb, wo, cfg.lb, cfg.ub)
+            rhs_jac_op = lambda y, wi, wb, wo: (
+                arrhenius_rhs_jac_batched_reference(y, wi, wb, wo,
+                                                    cfg.lb, cfg.ub))
+        else:
+            rhs_op, rhs_jac_op = make_arrhenius_ops(cfg.lb, cfg.ub,
+                                                    force=cfg.rhs_force)
         if cfg.jac_mode == "lowrank":
             factor_op = make_arrhenius_factor_op(cfg.lb, cfg.ub)
             fjac = lambda t, y, w_: factor_op(y, w_.w_in, w_.w_b, w_.w_out)
@@ -187,8 +204,6 @@ def build(cfg: Case2Config = Case2Config()) -> CaseSetup:
         loss_batch_eval = make_loss_batch("while")
 
     updates_per_epoch = cfg.n_exp_train if cfg.mode == "sequential" else 1
-    grad_mode = cfg.grad_mode or (
-        "fwd" if cfg.mode == "sequential" else "rev")
     trainer = Trainer(
         loss_i_exp=loss_i_exp,
         loss_i_exp_eval=loss_i_exp_eval,
@@ -214,6 +229,7 @@ def build(cfg: Case2Config = Case2Config()) -> CaseSetup:
         weights_fn=weights_fn,
         dataset=dataset,
         species=["TG", "ROH", "DG", "MG", "GL", "R'CO2R"],
+        loss_on_data=loss_on_data,
     )
 
 
@@ -230,6 +246,8 @@ if __name__ == "__main__":
                     help="case2_pruning variant")
     ap.add_argument("--restart", action="store_true")
     ap.add_argument("--out", default="runs")
+    ap.add_argument("--dp", type=int, default=0,
+                    help="data-parallel over N devices (-1 = all)")
     args = ap.parse_args()
     cfg = Case2Config(mode=args.mode, solver=args.solver,
                       p_cutoff=args.p_cutoff)
@@ -238,4 +256,4 @@ if __name__ == "__main__":
         cfg.missing_u0 = True
     setup = build(cfg)
     run_case(setup, n_epoch=args.epochs, out_dir=args.out,
-             restart=args.restart)
+             restart=args.restart, dp=args.dp)

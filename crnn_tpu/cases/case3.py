@@ -149,6 +149,12 @@ def build(cfg: Case3Config = Case3Config()) -> CaseSetup:
     def loss_i_exp_eval(p, i_exp, mask):
         return loss_i_exp(p, i_exp, mask, unroll="while")
 
+    def loss_on_data(p, u0_i, ys_i, mask_i):
+        # index-free loss for data-parallel sharding (parallel/dp_runner.py)
+        if cfg.variant == "case3":
+            ys_i = jnp.clip(ys_i, cfg.lb, cfg.ub)
+        return loss_fn(predict_from_u0(p, u0_i), ys_i, mask_i)
+
     trainer = Trainer(
         loss_i_exp=loss_i_exp,
         loss_i_exp_eval=loss_i_exp_eval,
@@ -169,6 +175,7 @@ def build(cfg: Case3Config = Case3Config()) -> CaseSetup:
         weights_fn=weights_fn,
         dataset=dataset,
         dydt_scale=dydt_scale,
+        loss_on_data=loss_on_data,
     )
 
 
@@ -182,10 +189,12 @@ if __name__ == "__main__":
     ap.add_argument("--p-cutoff", type=float, default=0.0)
     ap.add_argument("--restart", action="store_true")
     ap.add_argument("--out", default="runs")
+    ap.add_argument("--dp", type=int, default=0,
+                    help="data-parallel over N devices (-1 = all)")
     args = ap.parse_args()
     cfg = grn_config() if args.variant == "grn" else Case3Config()
     cfg.mode = args.mode
     cfg.p_cutoff = args.p_cutoff
     setup = build(cfg)
     run_case(setup, n_epoch=args.epochs, out_dir=args.out,
-             restart=args.restart)
+             restart=args.restart, dp=args.dp)

@@ -49,6 +49,12 @@ class CathodeUQConfig:
     val_index: int = 3
     seed: int = 0
     data_dir: Optional[str] = None
+    # data-parallel particle sharding over a dp-device mesh (-1 = all
+    # devices); num_particles must divide the mesh. The particle axis is
+    # the embarrassingly parallel dimension (each particle = one
+    # solve+gradient); the (n, n) RBF kernel update stays replicated
+    # (parallel/svgd_dp.py).
+    dp: int = 0
 
 
 def correlated_init(key, p_opt: np.ndarray, cfg: CathodeUQConfig) -> jnp.ndarray:
@@ -154,10 +160,34 @@ def build_uq(cfg: CathodeUQConfig = CathodeUQConfig(),
         err = (pred[:, None] - reps[i_exp]) ** 2 * masks[i_exp][:, None]
         return jnp.sum(err) / n_rep / jnp.sum(masks[i_exp])
 
+    if cfg.dp:
+        # particles sharded over the mesh: each device solves its shard,
+        # two tiny all-gathers per iteration (parallel/svgd_dp.py)
+        from crnn_tpu.parallel.mesh import make_mesh
+        from crnn_tpu.parallel.svgd_dp import make_dp_svgd_step
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        n_dev = cfg.dp if cfg.dp > 0 else len(jax.devices())
+        if cfg.num_particles % n_dev:
+            raise ValueError(
+                f"num_particles={cfg.num_particles} must divide the "
+                f"{n_dev}-device mesh for SVGD dp")
+        mesh = make_mesh(n_dev)
+        dp_step = make_dp_svgd_step(jax.value_and_grad(loss_one), mesh)
+
+        def svgd_iteration(particles, i_exp, stepsize):
+            return dp_step(particles, i_exp, stepsize, normalizer[i_exp])
+
+        particles = jax.device_put(particles,
+                                   NamedSharding(mesh, P("exp")))
+        extras_mesh = mesh
+    else:
+        extras_mesh = None
+
     grad_all = jax.vmap(jax.value_and_grad(loss_one), in_axes=(0, None))
 
     @jax.jit
-    def svgd_iteration(particles, i_exp, stepsize):
+    def _svgd_iteration_local(particles, i_exp, stepsize):
         losses, grads = grad_all(particles, i_exp)
         # noise normalisation of the score (dlnprob, network.jl:234-250)
         lnpgrad = -grads / normalizer[i_exp] ** 2
@@ -173,11 +203,14 @@ def build_uq(cfg: CathodeUQConfig = CathodeUQConfig(),
         return particles + stepsize * phi, jnp.nanmean(
             jnp.where(jnp.isfinite(losses), losses, jnp.nan))
 
+    if not cfg.dp:
+        svgd_iteration = _svgd_iteration_local
+
     extras = {
         "ts": ts, "reps": reps, "masks": masks, "betas": betas,
         "normalizer": normalizer, "loss_one": loss_one,
         "predict_one": predict_one, "denormalise": denormalise,
-        "n_exp": n_exp, "p_scales": p_scales,
+        "n_exp": n_exp, "p_scales": p_scales, "mesh": extras_mesh,
     }
     return particles, svgd_iteration, extras
 
@@ -274,11 +307,14 @@ if __name__ == "__main__":
                          "every 500 of 25000 iters = 50 decays over the run; "
                          "to traverse the same annealing schedule in fewer "
                          "iterations, shrink proportionally)")
+    ap.add_argument("--dp", type=int, default=0,
+                    help="shard the particle axis over N devices (-1 = all; "
+                         "num_particles must divide the mesh)")
     args = ap.parse_args()
     cfg = CathodeUQConfig(n_iters=args.iters, num_particles=args.particles,
                           data_dir=args.data_dir, solver=args.solver,
                           stepsize_decay_epochs=args.decay_epochs,
-                          maxiters=args.maxiters)
+                          maxiters=args.maxiters, dp=args.dp)
     p_opt = np.load(args.p_opt) if args.p_opt else None
     particles, info = run_uq(cfg, p_opt=p_opt)
     import os

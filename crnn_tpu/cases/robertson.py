@@ -126,6 +126,10 @@ def build(cfg: RobertsonConfig = RobertsonConfig()) -> CaseSetup:
     def loss_i_exp_eval(p, i_exp, mask):
         return loss_i_exp(p, i_exp, mask, unroll="while")
 
+    def loss_on_data(p, u0_i, ys_i, mask_i):
+        # index-free loss for data-parallel sharding (parallel/dp_runner.py)
+        return loss_fn(predict_from_u0(p, u0_i), ys_i, mask_i)
+
     trainer = Trainer(
         loss_i_exp=loss_i_exp,
         loss_i_exp_eval=loss_i_exp_eval,
@@ -148,6 +152,7 @@ def build(cfg: RobertsonConfig = RobertsonConfig()) -> CaseSetup:
         dataset=dataset,
         dydt_scale=dydt_scale,
         logx_plots=True,
+        loss_on_data=loss_on_data,
     )
     setup.extras["loss_i_exp"] = loss_i_exp
     setup.extras["config"] = cfg
@@ -179,10 +184,12 @@ if __name__ == "__main__":
     ap.add_argument("--lm-finish", action="store_true")
     ap.add_argument("--restart", action="store_true")
     ap.add_argument("--out", default="runs")
+    ap.add_argument("--dp", type=int, default=0,
+                    help="data-parallel over N devices (-1 = all)")
     args = ap.parse_args()
     setup = build(RobertsonConfig(mode=args.mode))
     state, _ = run_case(setup, n_epoch=args.epochs, out_dir=args.out,
-                        restart=args.restart)
+                        restart=args.restart, dp=args.dp)
     if args.lm_finish:
         p_fit, info = run_lm_finish(setup, state.params)
         print("LM finish:", info["cost"], "converged:", info["converged"])

@@ -1,0 +1,349 @@
+"""Whole-solve Pallas kernel: the ENTIRE adaptive Rosenbrock23 integration
+in ONE kernel launch.
+
+Round-2 measurement showed the per-op formulation of the batch-major
+driver (ode/batch_solve.py) is dispatch-bound at reference scale: a
+(B<=30, ns=7) step is ~30 tiny XLA ops, and a solve is ~10^2 steps, so
+wall-clock is dominated by op launch/sequencing overhead, not FLOPs
+(BASELINE.md utilization analysis). The TPU-native fix is to move the
+WHOLE integration loop inside a single Pallas kernel: every carry stays
+in VMEM/registers, each step is straight-line VPU/MXU code, and one solve
+costs one kernel launch instead of ~10^3 op dispatches.
+
+Design notes (this realises VERDICT.md round-2 item 1):
+
+- Everything is 2-D ``(B, k)`` with static unrolled loops over the tiny
+  ns/nr dims — the layout Mosaic handles best; no 3-D einsums.
+- The rank-nr Woodbury W-solve runs in-kernel: the nr x nr inner matrix
+  is formed by ONE ``(B, ns) @ (ns, nr*nr)`` matmul against a
+  host-precomputed coefficient matrix C[j, r*nr+q] = w_in[j,r]*w_out[j,q]
+  and inverted per-lane with unrolled Gauss-Jordan on ``(B,)`` columns.
+- Dense ``saveat`` output does NOT happen in the step loop. The kernel
+  records each iteration's step endpoints (t, t_new, y, y_new, f0, f2,
+  accepted) into VMEM history buffers; a single XLA post-pass contracts
+  the (B, K, n_save) bracket masks with the endpoint tensors via four
+  batched matmuls (MXU) to produce the cubic-Hermite interpolants — the
+  same dense-output math as ode/batch_solve.py:211-222.
+- Step-size control, statuses, and clipping mirror batch_odesolve_rb23
+  exactly (Shampine 2(3) W-method, I-controller) so results are
+  numerically identical up to op-ordering rounding.
+
+Forward (no-grad) only: pallas_call has no AD rules, so this kernel
+serves the evaluation/prediction paths (the full-dataset eval re-solve of
+every epoch — case2/case2.jl:199-201 — plus UQ posterior predictions and
+LM residuals); training updates keep the differentiable XLA driver.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_D = 1.0 / (2.0 + math.sqrt(2.0))
+_E32 = 6.0 + math.sqrt(2.0)
+_INV_R_KCAL = -1.0 / 1.98720425864083e-3
+
+_RUNNING, _DONE, _FAILED = 0, 1, 2
+
+
+def _inv_cols(m_cols, nr, dtype):
+    """Invert B-many (nr, nr) matrices stored as nr*nr (B,) columns
+    (index r*nr+q), by unrolled Gauss-Jordan without pivoting.
+
+    The Woodbury inner matrix is I - h*d*V@U — a small perturbation of the
+    identity whenever the step is within the controller's stability
+    envelope, so diagonal pivoting is safe; a (near-)singular matrix
+    yields inf/nan entries which the step-acceptance logic rejects, as in
+    ode/linsolve.py.
+    """
+    aug = [[m_cols[r * nr + q] for q in range(nr)] for r in range(nr)]
+    eye = [[jnp.full_like(m_cols[0], 1.0 if r == q else 0.0)
+            for q in range(nr)] for r in range(nr)]
+    for col in range(nr):
+        piv = aug[col][col]
+        inv_piv = 1.0 / piv
+        aug[col] = [a * inv_piv for a in aug[col]]
+        eye[col] = [a * inv_piv for a in eye[col]]
+        for r in range(nr):
+            if r == col:
+                continue
+            f = aug[r][col]
+            aug[r] = [a - f * b for a, b in zip(aug[r], aug[col])]
+            eye[r] = [a - f * b for a, b in zip(eye[r], eye[col])]
+    return eye  # eye[r][q] = (M^-1)[r, q] as (B,) columns
+
+
+def _arrh_rb23_solve_kernel(
+    y0_ref, winx_ref, winea_ref, wb_ref, wout_ref, woodc_ref,
+    t_hist_ref, tn_hist_ref, acc_hist_ref,
+    y_hist_ref, yn_hist_ref, f0_hist_ref, f2_hist_ref,
+    status_ref, nsteps_ref, yfin_ref,
+    *, ns, nr, max_steps, t0, t1, rtol, atol, lb, ub, exp_cap,
+    safety, factor_min, factor_max, dtmin,
+):
+    dtype = y0_ref.dtype
+    b = y0_ref.shape[0]
+    ns1 = ns + 1
+
+    winx = winx_ref[:]          # (ns, nr)
+    winea = winea_ref[:]        # (1, nr)
+    wb = wb_ref[:]              # (1, nr)
+    wout_t = wout_ref[:]        # (nr, ns)  —  w_out transposed on host
+    woodc = woodc_ref[:]        # (ns, nr*nr) Woodbury coefficient matrix
+
+    def rhs(y):
+        """du (B, ns1) and rates (B, nr); temperature state is constant."""
+        x = y[:, :ns]
+        inv_t = _INV_R_KCAL / y[:, ns:ns1]
+        logx = jnp.log(jnp.clip(x, lb, ub))
+        z = jnp.dot(logx, winx, preferred_element_type=dtype)
+        rates = jnp.exp(jnp.minimum(z + inv_t * winea + wb, exp_cap))
+        dux = jnp.dot(rates, wout_t, preferred_element_type=dtype)
+        du = jnp.concatenate([dux, jnp.zeros((b, 1), dtype)], axis=1)
+        return du, rates
+
+    def err_norm(err, ya, yb):
+        scale = atol + rtol * jnp.maximum(jnp.abs(ya), jnp.abs(yb))
+        ratio = err / scale
+        ratio = jnp.where(jnp.isfinite(ratio), ratio, jnp.inf)
+        return jnp.sqrt(jnp.mean(ratio * ratio, axis=-1))  # (B,)
+
+    y0 = y0_ref[:]
+
+    # ---- Hairer automatic initial dt (controller.py analogue) -------------
+    f0_init, _ = rhs(y0)
+    scale0 = atol + rtol * jnp.abs(y0)
+    d0 = jnp.sqrt(jnp.mean((y0 / scale0) ** 2, axis=-1))
+    d1 = jnp.sqrt(jnp.mean((f0_init / scale0) ** 2, axis=-1))
+    small = jnp.asarray(1e-6, dtype)
+    h0 = jnp.where((d0 < 1e-5) | (d1 < 1e-5), small,
+                   0.01 * d0 / jnp.maximum(d1, 1e-30))
+    h0 = jnp.minimum(h0, t1 - t0)
+    y1_probe = y0 + h0[:, None] * f0_init
+    f1_probe, _ = rhs(y1_probe)
+    d2 = jnp.sqrt(jnp.mean(((f1_probe - f0_init) / scale0) ** 2, axis=-1))
+    d2 = d2 / jnp.maximum(h0, 1e-30)
+    dmax = jnp.maximum(d1, d2)
+    h1 = jnp.where(dmax <= 1e-15, jnp.maximum(small, h0 * 1e-3),
+                   (0.01 / jnp.maximum(dmax, 1e-30)) ** (1.0 / 3.0))
+    dt0 = jnp.minimum(jnp.minimum(100.0 * h0, h1), t1 - t0)
+
+    def body(i, carry):
+        t, y, dt, status, n_steps = carry
+        running = status == _RUNNING
+        t_rem = t1 - t
+        clipped = dt >= t_rem
+        dt = jnp.where(running, jnp.minimum(dt, t_rem), dt)
+        dt = jnp.maximum(dt, 0.0)
+        hd = dt * _D                                  # (B,)
+
+        # ---- fused value + low-rank Jacobian factors ----------------------
+        f0, rates = rhs(y)
+        x = y[:, :ns]
+        temp = y[:, ns:ns1]
+        xc = jnp.clip(x, lb, ub)
+        in_range = jnp.logical_and(x > lb, x < ub).astype(dtype)
+        dlog = in_range / xc                          # (B, ns)
+        dt_feat = (-_INV_R_KCAL) / (temp * temp)      # (B, 1)
+
+        # Woodbury inner matrix M = I - h*d * V@U as nr*nr (B,) columns:
+        # (V@U)[b,r,q] = rates[b,r] * sum_j dlog[b,j]*w_in[j,r]*w_out[j,q]
+        vu_flat = jnp.dot(dlog, woodc, preferred_element_type=dtype)
+        m_cols = []
+        for r in range(nr):
+            for q in range(nr):
+                vu = rates[:, r] * vu_flat[:, r * nr + q]
+                diag = 1.0 if r == q else 0.0
+                m_cols.append(diag - hd * vu)
+        minv = _inv_cols(m_cols, nr, dtype)           # [r][q] (B,) columns
+
+        def wsolve(v):
+            # V v = rates * ( (v_x*dlog) @ w_in  +  v_T*dt_feat * w_ea )
+            vx = v[:, :ns] * dlog
+            s_r = jnp.dot(vx, winx, preferred_element_type=dtype)
+            s_r = rates * (s_r + v[:, ns:ns1] * dt_feat * winea)
+            # x_r = M^-1 s_r  (unrolled 3x3-ish)
+            xr = [sum(minv[r][q] * s_r[:, q] for q in range(nr))
+                  for r in range(nr)]
+            xr = jnp.stack(xr, axis=-1)               # (B, nr)
+            ux = jnp.dot(xr, wout_t, preferred_element_type=dtype)
+            ux = jnp.concatenate([ux, jnp.zeros((b, 1), dtype)], axis=1)
+            return v + hd[:, None] * ux
+
+        k1 = wsolve(f0)
+        f1, _ = rhs(y + (0.5 * dt)[:, None] * k1)
+        k2 = wsolve(f1 - k1) + k1
+        y1 = y + dt[:, None] * k2
+        f2, _ = rhs(y1)
+        k3 = wsolve(f2 - _E32 * (k2 - f1) - 2.0 * (k1 - f0))
+        y_err = (dt / 6.0)[:, None] * (k1 - 2.0 * k2 + k3)
+
+        ok = jnp.all(jnp.isfinite(y1), axis=-1) & jnp.all(
+            jnp.isfinite(y_err), axis=-1)
+        err = err_norm(y_err, y, y1)
+        err = jnp.where(ok, err, jnp.inf)
+        accept = err <= 1.0
+        t_new = t + dt
+
+        # ---- record step endpoints for the XLA dense-output post-pass ----
+        adv = running & accept
+        t_hist_ref[:, pl.ds(i, 1)] = t[:, None]
+        tn_hist_ref[:, pl.ds(i, 1)] = t_new[:, None]
+        acc_hist_ref[:, pl.ds(i, 1)] = adv.astype(dtype)[:, None]
+        y_hist_ref[:, pl.ds(i, 1), :] = y[:, None, :]
+        yn_hist_ref[:, pl.ds(i, 1), :] = y1[:, None, :]
+        f0_hist_ref[:, pl.ds(i, 1), :] = f0[:, None, :]
+        f2_hist_ref[:, pl.ds(i, 1), :] = f2[:, None, :]
+
+        # ---- I-controller (ode/controller.py:propose_dt) ------------------
+        errc = jnp.maximum(err, 1e-10)
+        factor = safety * jax.lax.rsqrt(errc) ** (2.0 / 3.0)  # err^(-1/3)
+        fmax = jnp.where(accept, factor_max, 1.0)
+        factor = jnp.clip(factor, factor_min, fmax)
+        dt_next = dt * factor
+
+        finished = accept & clipped
+        too_small = dt_next < dtmin
+        new_status = jnp.where(
+            finished, _DONE, jnp.where(too_small, _FAILED, _RUNNING)
+        ).astype(jnp.int32)
+
+        y1_safe = jnp.where(jnp.isfinite(y1), y1, 0.0)
+        return (
+            jnp.where(adv, t_new, t),
+            jnp.where(adv[:, None], y1_safe, y),
+            jnp.where(running, dt_next, dt),
+            jnp.where(running, new_status, status),
+            n_steps + running.astype(jnp.int32),
+        )
+
+    carry0 = (
+        jnp.full((b,), t0, dtype),
+        y0,
+        dt0,
+        jnp.zeros((b,), jnp.int32),
+        jnp.zeros((b,), jnp.int32),
+    )
+    t, y, dt, status, n_steps = jax.lax.fori_loop(0, max_steps, body, carry0)
+    status_ref[:, 0] = status
+    nsteps_ref[:, 0] = n_steps
+    yfin_ref[:] = y
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("ns", "nr", "max_steps", "t0", "t1", "rtol", "atol",
+                     "lb", "ub", "exp_cap", "safety", "factor_min",
+                     "factor_max", "dtmin_frac", "interpret"),
+)
+def _arrh_rb23_solve_pallas(
+    y0, w_in, w_b, w_out, *, ns, nr, max_steps, t0, t1, rtol, atol,
+    lb, ub, exp_cap=32.0, safety=0.9, factor_min=0.2, factor_max=10.0,
+    dtmin_frac=1e-12, interpret=False,
+):
+    b, ns1 = y0.shape
+    dtype = y0.dtype
+    # host-side precompute: Woodbury coefficients + transposes
+    woodc = (w_in[:ns, :, None] * w_out[:, None, :]).reshape(ns, nr * nr)
+    kernel = functools.partial(
+        _arrh_rb23_solve_kernel,
+        ns=ns, nr=nr, max_steps=max_steps, t0=float(t0), t1=float(t1),
+        rtol=float(rtol), atol=float(atol), lb=float(lb), ub=float(ub),
+        exp_cap=float(exp_cap), safety=float(safety),
+        factor_min=float(factor_min), factor_max=float(factor_max),
+        dtmin=float(dtmin_frac) * (float(t1) - float(t0)),
+    )
+    k = max_steps
+    outs = pl.pallas_call(
+        kernel,
+        out_shape=(
+            jax.ShapeDtypeStruct((b, k), dtype),          # t_hist
+            jax.ShapeDtypeStruct((b, k), dtype),          # tn_hist
+            jax.ShapeDtypeStruct((b, k), dtype),          # acc_hist
+            jax.ShapeDtypeStruct((b, k, ns1), dtype),     # y_hist
+            jax.ShapeDtypeStruct((b, k, ns1), dtype),     # yn_hist
+            jax.ShapeDtypeStruct((b, k, ns1), dtype),     # f0_hist
+            jax.ShapeDtypeStruct((b, k, ns1), dtype),     # f2_hist
+            jax.ShapeDtypeStruct((b, 1), jnp.int32),      # status
+            jax.ShapeDtypeStruct((b, 1), jnp.int32),      # n_steps
+            jax.ShapeDtypeStruct((b, ns1), dtype),        # y_final
+        ),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 6,
+        out_specs=tuple([pl.BlockSpec(memory_space=pltpu.VMEM)] * 10),
+        interpret=interpret,
+    )(y0, w_in[:ns], w_in[ns].reshape(1, -1), w_b.reshape(1, -1),
+      jnp.transpose(w_out), woodc)
+    return outs
+
+
+def _dense_output(saveat, t0, y0, t_h, tn_h, acc_h, y_h, yn_h, f0_h, f2_h):
+    """Cubic-Hermite dense output from recorded step endpoints.
+
+    Each save time inside (t, t_new] of exactly one ACCEPTED step; the
+    bracket masks (B, K, S) contract with the endpoint tensors (B, K, ns)
+    via batched matmuls — one XLA fusion cluster for the entire solve
+    (the dense-output math of ode/batch_solve.py:211-222).
+    """
+    dtype = y_h.dtype
+    dt_h = tn_h - t_h                                          # (B, K)
+    inv_dt = 1.0 / jnp.maximum(dt_h, 1e-30)
+    # theta (B, K, S)
+    theta = (saveat[None, None, :] - t_h[:, :, None]) * inv_dt[:, :, None]
+    theta = jnp.clip(theta, 0.0, 1.0)
+    bracket = (
+        (saveat[None, None, :] > t_h[:, :, None])
+        & (saveat[None, None, :] <= tn_h[:, :, None])
+        & (acc_h[:, :, None] > 0.5)
+    ).astype(dtype)
+    th2 = theta * theta
+    th3 = th2 * theta
+    b_f0 = (theta - 2.0 * th2 + th3) * bracket                 # * dt later
+    b_f1 = (th3 - th2) * bracket
+    b_dy = (3.0 * th2 - 2.0 * th3) * bracket
+    b_y0 = bracket
+    # ys[b,s,n] = sum_k b_y0*y + dt*(b_f0*f0 + b_f1*f2) + b_dy*(yn - y)
+    def contract(w, v):  # (B,K,S) x (B,K,N) -> (B,S,N)
+        return jnp.einsum("bks,bkn->bsn", w, v)
+
+    ys = (
+        contract(b_y0 + -1.0 * b_dy, y_h)
+        + contract(b_dy, yn_h)
+        + contract(b_f0 * dt_h[:, :, None], f0_h)
+        + contract(b_f1 * dt_h[:, :, None], f2_h)
+    )
+    # save times at/before t0 take the initial state
+    at_start = (saveat <= t0)[None, :, None]
+    return jnp.where(at_start, y0[:, None, :], ys)
+
+
+def make_arrhenius_fused_solve(
+    ns, nr, lb, ub, t0, t1, saveat, rtol, atol, max_steps,
+    exp_cap=32.0, interpret=False,
+):
+    """Whole-solve fused evaluator for the case2 Arrhenius family.
+
+    Returns solve(y0 (B, ns+1), w) -> (ys (B, n_save, ns+1), success (B,))
+    — numerically equivalent to ``batch_odesolve_rb23`` forward, at one
+    kernel launch + one XLA dense-output cluster per solve. No-grad (eval
+    / prediction paths only).
+    """
+    saveat = jnp.asarray(saveat)
+
+    def solve(y0, w):
+        (t_h, tn_h, acc_h, y_h, yn_h, f0_h, f2_h, status, n_steps,
+         y_fin) = _arrh_rb23_solve_pallas(
+            y0, w.w_in, w.w_b, w.w_out, ns=ns, nr=nr, max_steps=max_steps,
+            t0=float(t0), t1=float(t1), rtol=float(rtol), atol=float(atol),
+            lb=float(lb), ub=float(ub), exp_cap=float(exp_cap),
+            interpret=interpret,
+        )
+        ys = _dense_output(saveat.astype(y0.dtype), float(t0), y0,
+                           t_h, tn_h, acc_h, y_h, yn_h, f0_h, f2_h)
+        return ys, status[:, 0] == _DONE
+
+    return solve

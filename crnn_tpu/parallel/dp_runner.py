@@ -1,0 +1,154 @@
+"""Data-parallel case training: run_case's ``dp=N`` execution engine.
+
+Shards the experiment axis of a ``CaseSetup`` over an N-device mesh and
+trains with one global-mean-loss update per epoch (the 'batch' mode of
+train/loop.py, distributed): each device solves its experiment shard,
+gradients psum over ICI (parallel/dp.py), parameters stay replicated.
+The reference has no distributed backend at all (SURVEY.md §2.2
+"Parallelism strategies: NONE") — this is the scaling path for experiment
+counts beyond one chip, exposed as a first-class framework feature
+(``--dp`` on the case CLIs) rather than a test fixture.
+
+Experiment counts that don't divide the mesh are padded with zero-weight
+lanes; the padded lanes solve (cheap, identical program) but contribute
+nothing to loss, gradient, or metrics.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from crnn_tpu.parallel.dp import make_dp_eval, make_dp_train_step
+from crnn_tpu.parallel.mesh import make_mesh
+from crnn_tpu.train.loop import TrainState
+from crnn_tpu.train.loss import prefix_mask
+
+
+def _pad_to(arr, n, axis=0):
+    pad = n - arr.shape[axis]
+    if pad <= 0:
+        return arr
+    widths = [(0, 0)] * arr.ndim
+    widths[axis] = (0, pad)
+    return jnp.pad(arr, widths)
+
+
+def run_case_dp(
+    setup,
+    n_epoch: int,
+    n_devices: Optional[int] = None,
+    out_dir: str = "runs",
+    n_plot: int = 50,
+    restart: bool = False,
+    seed: int = 0,
+    log_every: int = 10,
+):
+    """Train a case data-parallel over the device mesh.
+
+    Semantics = Trainer 'batch' mode (one update per epoch on the mean
+    training loss, then a full evaluation pass), distributed. Returns
+    (TrainState, history) like run_case.
+    """
+    if setup.loss_on_data is None:
+        raise ValueError(
+            f"case {setup.name!r} does not define loss_on_data; "
+            "data-parallel training is unavailable for it")
+    from crnn_tpu.infra.checkpoint import load_checkpoint, save_checkpoint
+    from crnn_tpu.infra.metrics import MetricsLogger
+    from crnn_tpu.infra.plotting import display_weights, plot_loss_curves
+
+    trainer = setup.trainer
+    ds = setup.dataset
+    n_devices = n_devices or len(jax.devices())
+    mesh = make_mesh(n_devices)
+
+    n_exp = trainer.n_exp
+    n_train = trainer.n_exp_train
+    # experiments visited by the update (case3 quirk: ALL experiments,
+    # train/loop.py n_exp_update)
+    n_upd = trainer.n_exp_update or n_train
+    n_save = trainer.n_save
+    dtype = ds.ys.dtype
+    pad_train = -(-n_upd // n_devices) * n_devices
+    pad_all = -(-n_exp // n_devices) * n_devices
+
+    shard = NamedSharding(mesh, P("exp"))
+    u0_tr = jax.device_put(_pad_to(ds.u0[:n_upd], pad_train), shard)
+    ys_tr = jax.device_put(_pad_to(ds.ys[:n_upd], pad_train), shard)
+    w_tr = jax.device_put(
+        _pad_to(jnp.ones((n_upd,), dtype), pad_train), shard)
+    u0_all = jax.device_put(_pad_to(ds.u0, pad_all), shard)
+    ys_all = jax.device_put(_pad_to(ds.ys, pad_all), shard)
+    mask_all = jax.device_put(jnp.ones((pad_all, n_save), dtype), shard)
+
+    step = make_dp_train_step(setup.loss_on_data, trainer.optimizer, mesh)
+    eval_fn = make_dp_eval(setup.loss_on_data, mesh)
+
+    rng = np.random.default_rng(seed)
+
+    def sample_masks():
+        if trainer.horizon_range is None:
+            return mask_all[:pad_train]
+        lo, hi = trainer.horizon_range
+        samples = jnp.asarray(rng.integers(lo, hi + 1, size=(pad_train,)))
+        masks = jax.vmap(lambda s: prefix_mask(n_save, s, dtype))(samples)
+        return jax.device_put(masks, shard)
+
+    run_dir = os.path.join(out_dir, setup.name)
+    fig_dir = os.path.join(run_dir, "figs")
+    ckpt_path = os.path.join(run_dir, "checkpoint.msgpack")
+    os.makedirs(fig_dir, exist_ok=True)
+
+    params = setup.init_params
+    opt_state = trainer.optimizer.init(params)
+    epoch0 = 0
+    state = TrainState(params, opt_state, jnp.asarray(0, jnp.int32),
+                       jax.random.PRNGKey(seed))
+    if restart and os.path.exists(ckpt_path):
+        state = load_checkpoint(ckpt_path, state)
+        params, opt_state = state.params, state.opt_state
+        epoch0 = int(state.epoch)
+        print(f"[{setup.name}] dp restart from {ckpt_path} at epoch {epoch0}")
+
+    logger = MetricsLogger(os.path.join(run_dir, "metrics.jsonl"),
+                           print_every=0)
+    history = {"loss_train": [], "loss_val": [], "grad_norm": []}
+    t_start = time.time()
+
+    for e in range(epoch0, epoch0 + n_epoch):
+        masks = sample_masks()
+        params, opt_state, loss, gnorm = step(
+            params, opt_state, u0_tr, ys_tr, masks, w_tr)
+        losses = eval_fn(params, u0_all, ys_all, mask_all)[:n_exp]
+        lt = float(jnp.mean(losses[:n_train]))
+        lv = float(jnp.mean(losses[n_train:])) if n_exp > n_train else lt
+        history["loss_train"].append(lt)
+        history["loss_val"].append(float(lv))
+        history["grad_norm"].append(float(gnorm))
+        if log_every and (e + 1) % log_every == 0:
+            logger.log(epoch=e + 1, loss_train=lt, loss_val=lv,
+                       grad_norm=history["grad_norm"][-1])
+            print(f"[dp x{n_devices}] epoch={e + 1} loss_train={lt:.4e} "
+                  f"loss_val={lv:.4e}", flush=True)
+        if (e + 1) % n_plot == 0 or e == epoch0 + n_epoch - 1:
+            display_weights(setup.weights_fn(params), setup.dydt_scale)
+            plot_loss_curves(history, os.path.join(fig_dir, "loss.png"))
+            state = TrainState(params, opt_state,
+                               jnp.asarray(e + 1, jnp.int32), state.key)
+            save_checkpoint(ckpt_path, state)
+
+    wall = time.time() - t_start
+    print(f"[{setup.name}] dp x{n_devices}: {n_epoch} epochs in {wall:.1f}s "
+          f"({wall / max(n_epoch, 1) * 1e3:.1f} ms/epoch)", flush=True)
+    state = TrainState(params, opt_state,
+                       jnp.asarray(epoch0 + n_epoch, jnp.int32), state.key)
+    save_checkpoint(ckpt_path, state)
+    logger.close()
+    return state, history

@@ -129,7 +129,18 @@ class Trainer:
             )
             grad_norm = jnp.mean(gnorms)
         elif self.mode == "batch":
-            if self.loss_batch is not None:
+            if self.loss_batch is not None and self.grad_mode == "fwd":
+                # forward-mode (ForwardDiff analogue) through the batch-major
+                # EARLY-EXIT while driver: at np ~ 25 the tangent batch is
+                # cheap and the while loop stops at the true step count,
+                # where the reverse path pays max_steps remat replay
+                loss_fn = self.loss_batch_eval or self.loss_batch
+
+                def mean_loss(params):
+                    return jnp.mean(loss_fn(params, perm, masks))
+
+                g = jax.jacfwd(mean_loss)(state.params)
+            elif self.loss_batch is not None:
                 def mean_loss(params):
                     return jnp.mean(self.loss_batch(params, perm, masks))
 
