@@ -51,6 +51,13 @@ class Case1RevConfig:
     max_steps: int = 512
     mode: str = "batch"
     dtype: str = "float32"
+    # static 0/1 mask over the nr proposed reactions (None = all active):
+    # a masked reaction's w_out column is zeroed, making it inert and
+    # gradient-free — the leave-one-out model-reduction knob the reference
+    # ReadMe prescribes for the over-parameterised ansatz
+    # (robertson/ReadMe.md:7 'leave one out method'; same redundancy story
+    # for the nr=10 reversible proposal here).
+    reaction_mask: tuple = None
 
     @property
     def n_exp(self) -> int:
@@ -76,8 +83,15 @@ def build(cfg: Case1RevConfig = Case1RevConfig()) -> CaseSetup:
     rhs = make_crnn_reversible_rhs(cfg.lb)
     solver = Tsit5()
 
-    def weights_fn(p):
-        return p2vec_reversible(p, cfg.ns, cfg.nr)
+    if cfg.reaction_mask is not None:
+        rmask = jnp.asarray(cfg.reaction_mask, dtype)
+
+        def weights_fn(p):
+            w = p2vec_reversible(p, cfg.ns, cfg.nr)
+            return w._replace(w_out=w.w_out * rmask[None, :])
+    else:
+        def weights_fn(p):
+            return p2vec_reversible(p, cfg.ns, cfg.nr)
 
     def predict_from_u0(p, u0_i, unroll="scan"):
         w = weights_fn(p)

@@ -50,6 +50,11 @@ class RobertsonConfig:
     seed: int = 1234
     max_steps: int = 192
     mode: str = "batch"
+    # gradient path: 'rev_scan' (checkpointed reverse over the scan driver,
+    # default) or 'adjoint' (continuous backsolve adjoint, ode/adjoint.py —
+    # the BacksolveAdjoint analogue, O(n_save) memory instead of
+    # O(max_steps) on the 10^5-second horizon; see docs/DESIGN.md table)
+    grad_path: str = "rev_scan"
     # training dtype: the reference runs Float64 (rober_crnn.jl:40) because
     # y2 ~ 3.6e-5 rides on y1 ~ 1; "float32" is the TPU-native experiment
     # (f64 on TPU is double-float emulation, ~6x slower) — truth data is
@@ -109,6 +114,16 @@ def build(cfg: RobertsonConfig = RobertsonConfig()) -> CaseSetup:
 
     def predict_from_u0(p, u0_i, unroll="scan"):
         w = weights_fn(p)
+        if cfg.grad_path == "adjoint" and unroll == "scan":
+            # continuous backsolve adjoint for the training grad path
+            # (yeast_glycolysis.jl:148 / case2.jl:123 BacksolveAdjoint)
+            from crnn_tpu.ode.adjoint import odesolve_adjoint
+
+            return odesolve_adjoint(
+                rhs, solver, u0_i, 0.0, t1, saveat, args=w,
+                rtol=cfg.rtol, atol=cfg.atol.astype(train_dtype),
+                max_steps=cfg.max_steps,
+            )
         sol = odesolve(
             rhs, solver, u0_i, 0.0, t1, saveat, args=w,
             rtol=cfg.rtol, atol=cfg.atol.astype(train_dtype),

@@ -53,7 +53,20 @@ def odesolve_adjoint(
     """
     bwd_rtol = rtol if bwd_rtol is None else bwd_rtol
     bwd_atol = atol if bwd_atol is None else bwd_atol
+    # the backward solve integrates the AUGMENTED state (y, a, g) whose
+    # length differs from ny — a per-species atol vector (robertson,
+    # rober_crnn.jl:34) cannot broadcast there; collapse to its strictest
+    # entry for the backsolve
+    bwd_atol = jnp.asarray(bwd_atol)
+    if bwd_atol.ndim > 0:
+        bwd_atol = jnp.min(bwd_atol)
     bwd_max_steps = max_steps if bwd_max_steps is None else bwd_max_steps
+    # the backward integrates the AUGMENTED system, so a closed-form model
+    # Jacobian attached to the forward solver does not apply — rebuild the
+    # solver with its default (jacfwd) Jacobian for the backsolve
+    bwd_solver = solver
+    if getattr(solver, "jac", None) is not None:
+        bwd_solver = type(solver)()
 
     @jax.custom_vjp
     def _solve(y0, args):
@@ -98,7 +111,7 @@ def odesolve_adjoint(
             # degenerate segments (t_lo == t_hi) no-op via the solver's
             # immediate-finish path
             sol = odesolve(
-                aug_rhs, solver, z0, 0.0, span,
+                aug_rhs, bwd_solver, z0, 0.0, span,
                 jnp.asarray([span], z0.dtype), args=(t_hi, args_in),
                 rtol=bwd_rtol, atol=bwd_atol, max_steps=bwd_max_steps,
                 unroll="while",

@@ -12,21 +12,26 @@ costs one kernel launch instead of ~10^3 op dispatches.
 
 Design notes (this realises VERDICT.md round-2 item 1):
 
-- Everything is 2-D ``(B, k)`` with static unrolled loops over the tiny
-  ns/nr dims — the layout Mosaic handles best; no 3-D einsums.
+- LANE-MAJOR layout: state is ``y (ns+1, B)`` with the BATCH on the
+  128-lane axis and species on sublanes; every per-lane scalar (t, dt,
+  err, status) is a ``(1, B)`` row. At B <= 128 each quantity is a single
+  tile, per-lane scalars broadcast along sublanes for free, and no 1-D
+  vectors or in-kernel transposes exist anywhere (Mosaic's layout
+  inference rejects dynamic lane-axis stores and 1-D replication changes).
 - The rank-nr Woodbury W-solve runs in-kernel: the nr x nr inner matrix
-  is formed by ONE ``(B, ns) @ (ns, nr*nr)`` matmul against a
-  host-precomputed coefficient matrix C[j, r*nr+q] = w_in[j,r]*w_out[j,q]
-  and inverted per-lane with unrolled Gauss-Jordan on ``(B,)`` columns.
+  forms via ONE ``(nr*nr, ns) @ (ns, B)`` matmul against a
+  host-precomputed coefficient matrix C[r*nr+q, j] = w_in[j,r]*w_out[j,q]
+  and inverts per-lane with unrolled Gauss-Jordan on ``(1, B)`` rows.
 - Dense ``saveat`` output does NOT happen in the step loop. The kernel
   records each iteration's step endpoints (t, t_new, y, y_new, f0, f2,
-  accepted) into VMEM history buffers; a single XLA post-pass contracts
-  the (B, K, n_save) bracket masks with the endpoint tensors via four
-  batched matmuls (MXU) to produce the cubic-Hermite interpolants — the
-  same dense-output math as ode/batch_solve.py:211-222.
+  accepted) into step-major (K, ...) history buffers — the dynamic step
+  index lands on the leading untiled dimension — and a single XLA
+  post-pass contracts the (B, K, n_save) bracket masks with the endpoint
+  tensors via batched matmuls (MXU) to produce the cubic-Hermite
+  interpolants (the dense-output math of ode/batch_solve.py:211-222).
 - Step-size control, statuses, and clipping mirror batch_odesolve_rb23
-  exactly (Shampine 2(3) W-method, I-controller) so results are
-  numerically identical up to op-ordering rounding.
+  exactly (Shampine 2(3) W-method, I-controller) so results agree to
+  float rounding.
 
 Forward (no-grad) only: pallas_call has no AD rules, so this kernel
 serves the evaluation/prediction paths (the full-dataset eval re-solve of
@@ -51,22 +56,21 @@ _INV_R_KCAL = -1.0 / 1.98720425864083e-3
 _RUNNING, _DONE, _FAILED = 0, 1, 2
 
 
-def _inv_cols(m_cols, nr, dtype):
-    """Invert B-many (nr, nr) matrices stored as nr*nr (B,) columns
+def _inv_rows(m_rows, nr):
+    """Invert B-many (nr, nr) matrices stored as nr*nr (1, B) rows
     (index r*nr+q), by unrolled Gauss-Jordan without pivoting.
 
     The Woodbury inner matrix is I - h*d*V@U — a small perturbation of the
-    identity whenever the step is within the controller's stability
+    identity whenever the step is inside the controller's stability
     envelope, so diagonal pivoting is safe; a (near-)singular matrix
-    yields inf/nan entries which the step-acceptance logic rejects, as in
+    yields inf/nan entries which step acceptance rejects, as in
     ode/linsolve.py.
     """
-    aug = [[m_cols[r * nr + q] for q in range(nr)] for r in range(nr)]
-    eye = [[jnp.full_like(m_cols[0], 1.0 if r == q else 0.0)
+    aug = [[m_rows[r * nr + q] for q in range(nr)] for r in range(nr)]
+    eye = [[jnp.full_like(m_rows[0], 1.0 if r == q else 0.0)
             for q in range(nr)] for r in range(nr)]
     for col in range(nr):
-        piv = aug[col][col]
-        inv_piv = 1.0 / piv
+        inv_piv = 1.0 / aug[col][col]
         aug[col] = [a * inv_piv for a in aug[col]]
         eye[col] = [a * inv_piv for a in eye[col]]
         for r in range(nr):
@@ -75,11 +79,11 @@ def _inv_cols(m_cols, nr, dtype):
             f = aug[r][col]
             aug[r] = [a - f * b for a, b in zip(aug[r], aug[col])]
             eye[r] = [a - f * b for a, b in zip(eye[r], eye[col])]
-    return eye  # eye[r][q] = (M^-1)[r, q] as (B,) columns
+    return eye  # eye[r][q] = (M^-1)[r, q] as (1, B) rows
 
 
 def _arrh_rb23_solve_kernel(
-    y0_ref, winx_ref, winea_ref, wb_ref, wout_ref, woodc_ref,
+    y0_ref, winxt_ref, winea_ref, wb_ref, wout_ref, woodc_ref,
     t_hist_ref, tn_hist_ref, acc_hist_ref,
     y_hist_ref, yn_hist_ref, f0_hist_ref, f2_hist_ref,
     status_ref, nsteps_ref, yfin_ref,
@@ -87,122 +91,125 @@ def _arrh_rb23_solve_kernel(
     safety, factor_min, factor_max, dtmin,
 ):
     dtype = y0_ref.dtype
-    b = y0_ref.shape[0]
-    ns1 = ns + 1
+    ns1, b = y0_ref.shape
 
-    winx = winx_ref[:]          # (ns, nr)
-    winea = winea_ref[:]        # (1, nr)
-    wb = wb_ref[:]              # (1, nr)
-    wout_t = wout_ref[:]        # (nr, ns)  —  w_out transposed on host
-    woodc = woodc_ref[:]        # (ns, nr*nr) Woodbury coefficient matrix
+    winxt = winxt_ref[:]        # (nr, ns)   w_in[:ns].T
+    winea = winea_ref[:]        # (nr, 1)    Ea feature column
+    wb = wb_ref[:]              # (nr, 1)
+    wout = wout_ref[:]          # (ns, nr)
+    woodc = woodc_ref[:]        # (nr*nr, ns) Woodbury coefficients
+
+    zrow = jnp.zeros((1, b), dtype)
 
     def rhs(y):
-        """du (B, ns1) and rates (B, nr); temperature state is constant."""
-        x = y[:, :ns]
-        inv_t = _INV_R_KCAL / y[:, ns:ns1]
+        """du (ns1, B) and rates (nr, B); temperature row is constant."""
+        x = y[:ns, :]
+        inv_t = _INV_R_KCAL / y[ns:ns1, :]                    # (1, B)
         logx = jnp.log(jnp.clip(x, lb, ub))
-        z = jnp.dot(logx, winx, preferred_element_type=dtype)
-        rates = jnp.exp(jnp.minimum(z + inv_t * winea + wb, exp_cap))
-        dux = jnp.dot(rates, wout_t, preferred_element_type=dtype)
-        du = jnp.concatenate([dux, jnp.zeros((b, 1), dtype)], axis=1)
-        return du, rates
+        z = jnp.dot(winxt, logx, preferred_element_type=dtype)  # (nr, B)
+        rates = jnp.exp(jnp.minimum(z + winea * inv_t + wb, exp_cap))
+        dux = jnp.dot(wout, rates, preferred_element_type=dtype)
+        return jnp.concatenate([dux, zrow], axis=0), rates
 
     def err_norm(err, ya, yb):
         scale = atol + rtol * jnp.maximum(jnp.abs(ya), jnp.abs(yb))
         ratio = err / scale
         ratio = jnp.where(jnp.isfinite(ratio), ratio, jnp.inf)
-        return jnp.sqrt(jnp.mean(ratio * ratio, axis=-1))  # (B,)
+        return jnp.sqrt(jnp.mean(ratio * ratio, axis=0, keepdims=True))
+
+    def rms_rows(v, scale):
+        r = v / scale
+        return jnp.sqrt(jnp.mean(r * r, axis=0, keepdims=True))  # (1, B)
 
     y0 = y0_ref[:]
 
     # ---- Hairer automatic initial dt (controller.py analogue) -------------
     f0_init, _ = rhs(y0)
     scale0 = atol + rtol * jnp.abs(y0)
-    d0 = jnp.sqrt(jnp.mean((y0 / scale0) ** 2, axis=-1))
-    d1 = jnp.sqrt(jnp.mean((f0_init / scale0) ** 2, axis=-1))
+    d0 = rms_rows(y0, scale0)
+    d1 = rms_rows(f0_init, scale0)
     small = jnp.asarray(1e-6, dtype)
     h0 = jnp.where((d0 < 1e-5) | (d1 < 1e-5), small,
                    0.01 * d0 / jnp.maximum(d1, 1e-30))
     h0 = jnp.minimum(h0, t1 - t0)
-    y1_probe = y0 + h0[:, None] * f0_init
-    f1_probe, _ = rhs(y1_probe)
-    d2 = jnp.sqrt(jnp.mean(((f1_probe - f0_init) / scale0) ** 2, axis=-1))
-    d2 = d2 / jnp.maximum(h0, 1e-30)
+    f1_probe, _ = rhs(y0 + h0 * f0_init)
+    d2 = rms_rows(f1_probe - f0_init, scale0) / jnp.maximum(h0, 1e-30)
     dmax = jnp.maximum(d1, d2)
     h1 = jnp.where(dmax <= 1e-15, jnp.maximum(small, h0 * 1e-3),
                    (0.01 / jnp.maximum(dmax, 1e-30)) ** (1.0 / 3.0))
     dt0 = jnp.minimum(jnp.minimum(100.0 * h0, h1), t1 - t0)
 
     def body(i, carry):
-        t, y, dt, status, n_steps = carry
+        t, y, dt, status, n_steps = carry      # (1,B) rows, y (ns1,B)
         running = status == _RUNNING
         t_rem = t1 - t
         clipped = dt >= t_rem
         dt = jnp.where(running, jnp.minimum(dt, t_rem), dt)
         dt = jnp.maximum(dt, 0.0)
-        hd = dt * _D                                  # (B,)
+        hd = dt * _D                                          # (1, B)
 
         # ---- fused value + low-rank Jacobian factors ----------------------
         f0, rates = rhs(y)
-        x = y[:, :ns]
-        temp = y[:, ns:ns1]
+        x = y[:ns, :]
+        temp = y[ns:ns1, :]
         xc = jnp.clip(x, lb, ub)
         in_range = jnp.logical_and(x > lb, x < ub).astype(dtype)
-        dlog = in_range / xc                          # (B, ns)
-        dt_feat = (-_INV_R_KCAL) / (temp * temp)      # (B, 1)
+        dlog = in_range / xc                                  # (ns, B)
+        dt_feat = (-_INV_R_KCAL) / (temp * temp)              # (1, B)
 
-        # Woodbury inner matrix M = I - h*d * V@U as nr*nr (B,) columns:
-        # (V@U)[b,r,q] = rates[b,r] * sum_j dlog[b,j]*w_in[j,r]*w_out[j,q]
-        vu_flat = jnp.dot(dlog, woodc, preferred_element_type=dtype)
-        m_cols = []
+        # Woodbury inner matrix M = I - h*d * V@U as nr*nr (1, B) rows:
+        # (V@U)[r,q,b] = rates[r,b] * sum_j dlog[j,b]*w_in[j,r]*w_out[j,q]
+        vu_flat = jnp.dot(woodc, dlog, preferred_element_type=dtype)
+        m_rows = []
         for r in range(nr):
             for q in range(nr):
-                vu = rates[:, r] * vu_flat[:, r * nr + q]
+                vu = rates[r:r + 1, :] * vu_flat[r * nr + q:r * nr + q + 1, :]
                 diag = 1.0 if r == q else 0.0
-                m_cols.append(diag - hd * vu)
-        minv = _inv_cols(m_cols, nr, dtype)           # [r][q] (B,) columns
+                m_rows.append(diag - hd * vu)
+        minv = _inv_rows(m_rows, nr)                          # [r][q] (1, B)
 
         def wsolve(v):
-            # V v = rates * ( (v_x*dlog) @ w_in  +  v_T*dt_feat * w_ea )
-            vx = v[:, :ns] * dlog
-            s_r = jnp.dot(vx, winx, preferred_element_type=dtype)
-            s_r = rates * (s_r + v[:, ns:ns1] * dt_feat * winea)
-            # x_r = M^-1 s_r  (unrolled 3x3-ish)
-            xr = [sum(minv[r][q] * s_r[:, q] for q in range(nr))
-                  for r in range(nr)]
-            xr = jnp.stack(xr, axis=-1)               # (B, nr)
-            ux = jnp.dot(xr, wout_t, preferred_element_type=dtype)
-            ux = jnp.concatenate([ux, jnp.zeros((b, 1), dtype)], axis=1)
-            return v + hd[:, None] * ux
+            # V v = rates * ( w_in^T (v_x*dlog)  +  w_ea * (v_T*dt_feat) )
+            vx = v[:ns, :] * dlog
+            s = jnp.dot(winxt, vx, preferred_element_type=dtype)  # (nr, B)
+            s = rates * (s + winea * (v[ns:ns1, :] * dt_feat))
+            xr = jnp.concatenate(
+                [sum(minv[r][q] * s[q:q + 1, :] for q in range(nr))
+                 for r in range(nr)], axis=0)                 # (nr, B)
+            ux = jnp.dot(wout, xr, preferred_element_type=dtype)
+            ux = jnp.concatenate([ux, zrow], axis=0)
+            return v + hd * ux
 
         k1 = wsolve(f0)
-        f1, _ = rhs(y + (0.5 * dt)[:, None] * k1)
+        f1, _ = rhs(y + (0.5 * dt) * k1)
         k2 = wsolve(f1 - k1) + k1
-        y1 = y + dt[:, None] * k2
+        y1 = y + dt * k2
         f2, _ = rhs(y1)
         k3 = wsolve(f2 - _E32 * (k2 - f1) - 2.0 * (k1 - f0))
-        y_err = (dt / 6.0)[:, None] * (k1 - 2.0 * k2 + k3)
+        y_err = (dt / 6.0) * (k1 - 2.0 * k2 + k3)
 
-        ok = jnp.all(jnp.isfinite(y1), axis=-1) & jnp.all(
-            jnp.isfinite(y_err), axis=-1)
+        ok = jnp.all(jnp.isfinite(y1), axis=0, keepdims=True) & jnp.all(
+            jnp.isfinite(y_err), axis=0, keepdims=True)
         err = err_norm(y_err, y, y1)
         err = jnp.where(ok, err, jnp.inf)
         accept = err <= 1.0
         t_new = t + dt
 
         # ---- record step endpoints for the XLA dense-output post-pass ----
+        # step-major (K, ...) layout: the dynamic index i is on the leading
+        # untiled dimension
         adv = running & accept
-        t_hist_ref[:, pl.ds(i, 1)] = t[:, None]
-        tn_hist_ref[:, pl.ds(i, 1)] = t_new[:, None]
-        acc_hist_ref[:, pl.ds(i, 1)] = adv.astype(dtype)[:, None]
-        y_hist_ref[:, pl.ds(i, 1), :] = y[:, None, :]
-        yn_hist_ref[:, pl.ds(i, 1), :] = y1[:, None, :]
-        f0_hist_ref[:, pl.ds(i, 1), :] = f0[:, None, :]
-        f2_hist_ref[:, pl.ds(i, 1), :] = f2[:, None, :]
+        t_hist_ref[pl.ds(i, 1), :] = t
+        tn_hist_ref[pl.ds(i, 1), :] = t_new
+        acc_hist_ref[pl.ds(i, 1), :] = adv.astype(dtype)
+        y_hist_ref[pl.ds(i, 1), :, :] = y[None]
+        yn_hist_ref[pl.ds(i, 1), :, :] = y1[None]
+        f0_hist_ref[pl.ds(i, 1), :, :] = f0[None]
+        f2_hist_ref[pl.ds(i, 1), :, :] = f2[None]
 
         # ---- I-controller (ode/controller.py:propose_dt) ------------------
         errc = jnp.maximum(err, 1e-10)
-        factor = safety * jax.lax.rsqrt(errc) ** (2.0 / 3.0)  # err^(-1/3)
+        factor = safety * errc ** (-1.0 / 3.0)
         fmax = jnp.where(accept, factor_max, 1.0)
         factor = jnp.clip(factor, factor_min, fmax)
         dt_next = dt * factor
@@ -216,22 +223,22 @@ def _arrh_rb23_solve_kernel(
         y1_safe = jnp.where(jnp.isfinite(y1), y1, 0.0)
         return (
             jnp.where(adv, t_new, t),
-            jnp.where(adv[:, None], y1_safe, y),
+            jnp.where(adv, y1_safe, y),
             jnp.where(running, dt_next, dt),
             jnp.where(running, new_status, status),
             n_steps + running.astype(jnp.int32),
         )
 
     carry0 = (
-        jnp.full((b,), t0, dtype),
+        jnp.full((1, b), t0, dtype),
         y0,
         dt0,
-        jnp.zeros((b,), jnp.int32),
-        jnp.zeros((b,), jnp.int32),
+        jnp.zeros((1, b), jnp.int32),
+        jnp.zeros((1, b), jnp.int32),
     )
     t, y, dt, status, n_steps = jax.lax.fori_loop(0, max_steps, body, carry0)
-    status_ref[:, 0] = status
-    nsteps_ref[:, 0] = n_steps
+    status_ref[:] = status
+    nsteps_ref[:] = n_steps
     yfin_ref[:] = y
 
 
@@ -248,8 +255,10 @@ def _arrh_rb23_solve_pallas(
 ):
     b, ns1 = y0.shape
     dtype = y0.dtype
-    # host-side precompute: Woodbury coefficients + transposes
-    woodc = (w_in[:ns, :, None] * w_out[:, None, :]).reshape(ns, nr * nr)
+    # host-side precompute: lane-major operands + Woodbury coefficients
+    # C[r*nr+q, j] = w_in[j, r] * w_out[j, q]
+    woodc = jnp.transpose(
+        (w_in[:ns, :, None] * w_out[:, None, :]).reshape(ns, nr * nr))
     kernel = functools.partial(
         _arrh_rb23_solve_kernel,
         ns=ns, nr=nr, max_steps=max_steps, t0=float(t0), t1=float(t1),
@@ -262,39 +271,44 @@ def _arrh_rb23_solve_pallas(
     outs = pl.pallas_call(
         kernel,
         out_shape=(
-            jax.ShapeDtypeStruct((b, k), dtype),          # t_hist
-            jax.ShapeDtypeStruct((b, k), dtype),          # tn_hist
-            jax.ShapeDtypeStruct((b, k), dtype),          # acc_hist
-            jax.ShapeDtypeStruct((b, k, ns1), dtype),     # y_hist
-            jax.ShapeDtypeStruct((b, k, ns1), dtype),     # yn_hist
-            jax.ShapeDtypeStruct((b, k, ns1), dtype),     # f0_hist
-            jax.ShapeDtypeStruct((b, k, ns1), dtype),     # f2_hist
-            jax.ShapeDtypeStruct((b, 1), jnp.int32),      # status
-            jax.ShapeDtypeStruct((b, 1), jnp.int32),      # n_steps
-            jax.ShapeDtypeStruct((b, ns1), dtype),        # y_final
+            jax.ShapeDtypeStruct((k, b), dtype),          # t_hist
+            jax.ShapeDtypeStruct((k, b), dtype),          # tn_hist
+            jax.ShapeDtypeStruct((k, b), dtype),          # acc_hist
+            jax.ShapeDtypeStruct((k, ns1, b), dtype),     # y_hist
+            jax.ShapeDtypeStruct((k, ns1, b), dtype),     # yn_hist
+            jax.ShapeDtypeStruct((k, ns1, b), dtype),     # f0_hist
+            jax.ShapeDtypeStruct((k, ns1, b), dtype),     # f2_hist
+            jax.ShapeDtypeStruct((1, b), jnp.int32),      # status
+            jax.ShapeDtypeStruct((1, b), jnp.int32),      # n_steps
+            jax.ShapeDtypeStruct((ns1, b), dtype),        # y_final
         ),
         in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 6,
         out_specs=tuple([pl.BlockSpec(memory_space=pltpu.VMEM)] * 10),
         interpret=interpret,
-    )(y0, w_in[:ns], w_in[ns].reshape(1, -1), w_b.reshape(1, -1),
-      jnp.transpose(w_out), woodc)
-    return outs
+    )(jnp.transpose(y0), jnp.transpose(w_in[:ns]),
+      w_in[ns].reshape(-1, 1), w_b.reshape(-1, 1), w_out, woodc)
+    # back to batch-major for the dense-output post-pass
+    (t_h, tn_h, acc_h, y_h, yn_h, f0_h, f2_h, status, n_steps, y_fin) = outs
+    return (t_h.T, tn_h.T, acc_h.T,
+            jnp.transpose(y_h, (2, 0, 1)), jnp.transpose(yn_h, (2, 0, 1)),
+            jnp.transpose(f0_h, (2, 0, 1)), jnp.transpose(f2_h, (2, 0, 1)),
+            jnp.transpose(status), jnp.transpose(n_steps),
+            jnp.transpose(y_fin))
 
 
 def _dense_output(saveat, t0, y0, t_h, tn_h, acc_h, y_h, yn_h, f0_h, f2_h):
     """Cubic-Hermite dense output from recorded step endpoints.
 
-    Each save time inside (t, t_new] of exactly one ACCEPTED step; the
-    bracket masks (B, K, S) contract with the endpoint tensors (B, K, ns)
-    via batched matmuls — one XLA fusion cluster for the entire solve
-    (the dense-output math of ode/batch_solve.py:211-222).
+    Each save time lies inside (t, t_new] of exactly one ACCEPTED step;
+    the bracket masks (B, K, S) contract with the endpoint tensors
+    (B, K, ns) via batched matmuls — one XLA fusion cluster for the whole
+    solve (the dense-output math of ode/batch_solve.py:211-222).
     """
     dtype = y_h.dtype
     dt_h = tn_h - t_h                                          # (B, K)
     inv_dt = 1.0 / jnp.maximum(dt_h, 1e-30)
-    # theta (B, K, S)
     theta = (saveat[None, None, :] - t_h[:, :, None]) * inv_dt[:, :, None]
-    theta = jnp.clip(theta, 0.0, 1.0)
+    theta = jnp.clip(theta, 0.0, 1.0)                          # (B, K, S)
     bracket = (
         (saveat[None, None, :] > t_h[:, :, None])
         & (saveat[None, None, :] <= tn_h[:, :, None])
@@ -302,16 +316,16 @@ def _dense_output(saveat, t0, y0, t_h, tn_h, acc_h, y_h, yn_h, f0_h, f2_h):
     ).astype(dtype)
     th2 = theta * theta
     th3 = th2 * theta
-    b_f0 = (theta - 2.0 * th2 + th3) * bracket                 # * dt later
+    b_f0 = (theta - 2.0 * th2 + th3) * bracket
     b_f1 = (th3 - th2) * bracket
     b_dy = (3.0 * th2 - 2.0 * th3) * bracket
     b_y0 = bracket
-    # ys[b,s,n] = sum_k b_y0*y + dt*(b_f0*f0 + b_f1*f2) + b_dy*(yn - y)
+
     def contract(w, v):  # (B,K,S) x (B,K,N) -> (B,S,N)
         return jnp.einsum("bks,bkn->bsn", w, v)
 
     ys = (
-        contract(b_y0 + -1.0 * b_dy, y_h)
+        contract(b_y0 - b_dy, y_h)
         + contract(b_dy, yn_h)
         + contract(b_f0 * dt_h[:, :, None], f0_h)
         + contract(b_f1 * dt_h[:, :, None], f2_h)
@@ -345,5 +359,4 @@ def make_arrhenius_fused_solve(
         ys = _dense_output(saveat.astype(y0.dtype), float(t0), y0,
                            t_h, tn_h, acc_h, y_h, yn_h, f0_h, f2_h)
         return ys, status[:, 0] == _DONE
-
     return solve
