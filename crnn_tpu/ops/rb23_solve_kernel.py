@@ -140,8 +140,11 @@ def _arrh_rb23_solve_kernel(
     dt0 = jnp.minimum(jnp.minimum(100.0 * h0, h1), t1 - t0)
 
     def body(i, carry):
-        t, y, dt, status, n_steps = carry      # (1,B) rows, y (ns1,B)
-        running = status == _RUNNING
+        # (1,B) rows, y (ns1,B); status/n_steps carried as FLOAT rows —
+        # int32 row arithmetic trips a Mosaic relayout bug on this
+        # toolchain ("non-singleton logical dimension is replicated")
+        t, y, dt, status, n_steps = carry
+        running = status < 0.5
         t_rem = t1 - t
         clipped = dt >= t_rem
         dt = jnp.where(running, jnp.minimum(dt, t_rem), dt)
@@ -217,8 +220,8 @@ def _arrh_rb23_solve_kernel(
         finished = accept & clipped
         too_small = dt_next < dtmin
         new_status = jnp.where(
-            finished, _DONE, jnp.where(too_small, _FAILED, _RUNNING)
-        ).astype(jnp.int32)
+            finished, float(_DONE), jnp.where(too_small, float(_FAILED),
+                                              float(_RUNNING))).astype(dtype)
 
         y1_safe = jnp.where(jnp.isfinite(y1), y1, 0.0)
         return (
@@ -226,19 +229,23 @@ def _arrh_rb23_solve_kernel(
             jnp.where(adv, y1_safe, y),
             jnp.where(running, dt_next, dt),
             jnp.where(running, new_status, status),
-            n_steps + running.astype(jnp.int32),
+            n_steps + jnp.where(running, 1.0, 0.0).astype(dtype),
         )
 
+    # initial carry rows derived from DATA (y0), not constants: Mosaic
+    # gives constants a fully-replicated layout which cannot re-unify with
+    # the loop body's computed (non-replicated) layout
+    zero_row = y0[0:1, :] * 0.0
     carry0 = (
-        jnp.full((1, b), t0, dtype),
+        zero_row + t0,
         y0,
         dt0,
-        jnp.zeros((1, b), jnp.int32),
-        jnp.zeros((1, b), jnp.int32),
+        zero_row,
+        zero_row,
     )
     t, y, dt, status, n_steps = jax.lax.fori_loop(0, max_steps, body, carry0)
-    status_ref[:] = status
-    nsteps_ref[:] = n_steps
+    status_ref[:] = status.astype(jnp.int32)
+    nsteps_ref[:] = n_steps.astype(jnp.int32)
     yfin_ref[:] = y
 
 

@@ -146,3 +146,42 @@ def test_arrhenius_op_gradients_match_reference():
 
     g1 = jax.grad(fj_op)(w_in)
     assert np.all(np.isfinite(np.asarray(g1)))
+
+
+def test_whole_solve_kernel_matches_xla_driver():
+    """ops/rb23_solve_kernel.py (interpret mode): the single-launch
+    whole-solve kernel + XLA dense-output post-pass reproduces the
+    batch-major XLA driver's trajectories and success flags."""
+    from crnn_tpu.ode.batch_solve import batch_odesolve_rb23
+    from crnn_tpu.ops.crnn_kernels import (
+        make_arrhenius_factor_op, make_arrhenius_ops,
+    )
+    from crnn_tpu.ops.rb23_solve_kernel import make_arrhenius_fused_solve
+    from crnn_tpu.transforms.p2vec import init_params_case2, p2vec_case2
+
+    ns, nr, lb, ub = 6, 3, 1e-6, 10.0
+    b, n_save, t1 = 6, 15, 40.0
+    key = jax.random.PRNGKey(3)
+    p = init_params_case2(key, ns, nr, dtype=jnp.float32)
+    w = p2vec_case2(p, ns, nr)
+    u0 = jnp.concatenate(
+        [jnp.abs(jax.random.normal(key, (b, ns), jnp.float32)) * 0.5 + 0.2,
+         jnp.full((b, 1), 330.0, jnp.float32)], axis=1)
+    u0 = u0.at[:, 2:ns].set(0.0)
+    saveat = jnp.linspace(0.0, t1, n_save, dtype=jnp.float32)
+
+    rhs_op, _ = make_arrhenius_ops(lb, ub, force="xla")
+    factor_op = make_arrhenius_factor_op(lb, ub)
+    sol = batch_odesolve_rb23(
+        lambda t, y, w_: rhs_op(y, w_.w_in, w_.w_b, w_.w_out),
+        lambda t, y, w_: factor_op(y, w_.w_in, w_.w_b, w_.w_out),
+        u0, 0.0, t1, saveat, args=w, rtol=1e-3, atol=1e-6, max_steps=96,
+        unroll="while", jac_mode="lowrank")
+
+    solve = make_arrhenius_fused_solve(ns, nr, lb, ub, 0.0, t1, saveat,
+                                       1e-3, 1e-6, 96, interpret=True)
+    ys, ok = solve(u0, w)
+    assert np.asarray(ok).all() and np.asarray(sol.success).all()
+    ref = np.asarray(sol.ys)
+    rel = np.abs(np.asarray(ys) - ref).max() / (np.abs(ref).max() + 1e-12)
+    assert rel < 5e-4, rel
