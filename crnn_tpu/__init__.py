@@ -26,7 +26,19 @@ Design rules (everywhere): pure functions, explicit parameters (no globals),
 static shapes, ``jit``/``vmap``/``grad``-compatible control flow only.
 """
 
-__version__ = "0.1.0"
+__version__ = "0.3.0"
+
+# Numerics guarantee: TPU's default matmul path does bf16 multiplies on
+# f32 inputs, which corrupts solver arithmetic (measured ~0.5% on dense
+# output, ops/rb23_solve_kernel.py). This is a scientific-computing
+# library: force true-f32 matmuls globally. At CRNN sizes (ns<=12) the
+# 3-pass cost is unmeasurable.
+import jax as _jax
+
+try:
+    _jax.config.update("jax_default_matmul_precision", "highest")
+except Exception:  # pragma: no cover - older jax
+    pass
 
 from crnn_tpu.ode import (  # noqa: F401
     ODESolution,

@@ -243,7 +243,23 @@ def _arrh_rb23_solve_kernel(
         zero_row,
         zero_row,
     )
-    t, y, dt, status, n_steps = jax.lax.fori_loop(0, max_steps, body, carry0)
+    # early exit: the while cond stops as soon as every lane is done or
+    # failed — a typical case2 solve needs ~30 steps of the max_steps=128
+    # budget. The acc history must be pre-zeroed because unvisited rows
+    # are uninitialised VMEM and acc>0.5 garbage would corrupt the
+    # dense-output bracket masks.
+    acc_hist_ref[:] = jnp.zeros(acc_hist_ref.shape, dtype)
+
+    def cond_w(carry):
+        i, t, y, dt, status, n_steps = carry
+        return jnp.logical_and(i < max_steps, jnp.any(status < 0.5))
+
+    def body_w(carry):
+        i, *state = carry
+        return (i + 1,) + tuple(body(i, tuple(state)))
+
+    _, t, y, dt, status, n_steps = jax.lax.while_loop(
+        cond_w, body_w, (jnp.asarray(0, jnp.int32),) + carry0)
     status_ref[:] = status.astype(jnp.int32)
     nsteps_ref[:] = n_steps.astype(jnp.int32)
     yfin_ref[:] = y
@@ -312,6 +328,17 @@ def _dense_output(saveat, t0, y0, t_h, tn_h, acc_h, y_h, yn_h, f0_h, f2_h):
     solve (the dense-output math of ode/batch_solve.py:211-222).
     """
     dtype = y_h.dtype
+    # unvisited history rows (kernel early exit) hold garbage/NaN VMEM;
+    # only acc_h is guaranteed pre-zeroed. Sanitise everything through the
+    # accepted mask BEFORE any arithmetic (NaN*0 = NaN would leak through
+    # the contraction otherwise).
+    ok_row = acc_h > 0.5                                       # (B, K)
+    t_h = jnp.where(ok_row, t_h, 0.0)
+    tn_h = jnp.where(ok_row, tn_h, -1.0)   # empty bracket: tn < t0 <= s
+    y_h = jnp.where(ok_row[:, :, None], y_h, 0.0)
+    yn_h = jnp.where(ok_row[:, :, None], yn_h, 0.0)
+    f0_h = jnp.where(ok_row[:, :, None], f0_h, 0.0)
+    f2_h = jnp.where(ok_row[:, :, None], f2_h, 0.0)
     dt_h = tn_h - t_h                                          # (B, K)
     inv_dt = 1.0 / jnp.maximum(dt_h, 1e-30)
     theta = (saveat[None, None, :] - t_h[:, :, None]) * inv_dt[:, :, None]
@@ -329,7 +356,11 @@ def _dense_output(saveat, t0, y0, t_h, tn_h, acc_h, y_h, yn_h, f0_h, f2_h):
     b_y0 = bracket
 
     def contract(w, v):  # (B,K,S) x (B,K,N) -> (B,S,N)
-        return jnp.einsum("bks,bkn->bsn", w, v)
+        # HIGHEST: TPU default matmul precision is bf16 multiplies, which
+        # corrupts the reconstruction by ~0.5% (measured: a conserved
+        # T=343 K state came back 341.3)
+        return jnp.einsum("bks,bkn->bsn", w, v,
+                          precision=jax.lax.Precision.HIGHEST)
 
     ys = (
         contract(b_y0 - b_dy, y_h)
