@@ -27,12 +27,15 @@ def main(n_epochs=50, out_dir="runs/profile"):
 
     from crnn_tpu.cases.case2 import Case2Config, build
 
+    print("building case2...", flush=True)
     setup = build(Case2Config())
     trainer = setup.trainer
     state = trainer.init(setup.init_params)
     step = trainer.epoch_fn()
+    print("compiling epoch...", flush=True)
     state, m = step(state)
     m.loss_train.block_until_ready()
+    print("compiled; tracing...", flush=True)
 
     os.makedirs(out_dir, exist_ok=True)
     trace_dir = os.path.join(out_dir, "trace")

@@ -1,0 +1,19 @@
+#!/usr/bin/env bash
+# Reference-scale SVGD UQ run (VERDICT round-2 item 8): 100 particles x
+# 25000 iterations on the REAL UNCERT replicate curves, reference
+# annealing cadence 0.95/500 (UQ config.yaml:27-33), warm-started from the
+# measured-data deterministic optimum. Writes runs/cathode_uq_25k/.
+set -euo pipefail
+cd "$(dirname "$0")/.."
+
+ITERS="${1:-25000}"
+OUT="runs/cathode_uq_25k"
+
+python -m crnn_tpu.cases.cathode_uq \
+  --iters "$ITERS" --particles 100 \
+  --data-dir /root/reference/Cathode_NCM333_UQ/exp_data \
+  --p-opt runs/cathode/real-4s8r-01/p_opt.npy \
+  --decay-epochs 500 \
+  --out "$OUT"
+
+python scripts/uq_summary.py "$OUT/cathode_uq" || true

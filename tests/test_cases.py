@@ -192,3 +192,22 @@ def test_case1_rev_smoke():
     assert setup.trainer.grad_mode == "fwd"
     _, first, last, _ = _run_epochs(setup, 2)
     assert np.isfinite(last)
+
+
+def test_hychem_real_file_loader(tmp_path):
+    """load_trajectory consumes the Cantera data protocol exactly as
+    gen_data_pyrolysis.py writes it (np.savetxt of [t, T, P, Y1..Y9],
+    HyChem/gen_data_pyrolysis.py:36-39) and the case trains from it."""
+    import numpy as np
+
+    from crnn_tpu.cases.hychem import HyChemConfig, build, synthetic_pyrolysis
+
+    raw = synthetic_pyrolysis()
+    path = tmp_path / "data_1"
+    np.savetxt(path, raw)          # the reference's exact writer call
+
+    setup = build(HyChemConfig(data_path=str(path), nr=2, ntotal=16,
+                               max_steps=96))
+    st = setup.trainer.init(setup.init_params)
+    st, m = setup.trainer.epoch_fn()(st)
+    assert np.isfinite(float(m.loss_train))
