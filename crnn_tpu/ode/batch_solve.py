@@ -45,7 +45,7 @@ import jax.numpy as jnp
 
 from crnn_tpu.ode.base import hermite_interp_matrix_from_endpoints
 from crnn_tpu.ode.controller import propose_dt
-from crnn_tpu.ode.linsolve import inv_small
+from crnn_tpu.ode.linsolve import inv_small_nopivot
 
 _D = 1.0 / (2.0 + math.sqrt(2.0))
 _E32 = 6.0 + math.sqrt(2.0)
@@ -157,8 +157,11 @@ def batch_odesolve_rb23(
         n_steps=jnp.zeros((b,), jnp.int32),
     )
 
+    # pivot-free: W/M are near-identity within the stability envelope, and
+    # the pivoted variant's traced-permutation gather transposes to a
+    # scatter-add that dominated the training epoch (runs/profile)
     eye = jnp.eye(ns, dtype=dtype)
-    batched_inv = jax.vmap(inv_small)
+    batched_inv = jax.vmap(inv_small_nopivot)
 
     def body(s: _Carry) -> _Carry:
         running = s.status == _RUNNING

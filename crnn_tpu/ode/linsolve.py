@@ -48,6 +48,30 @@ def inv_small(a: jnp.ndarray) -> jnp.ndarray:
     return aug[:, n:]
 
 
+def inv_small_nopivot(a: jnp.ndarray) -> jnp.ndarray:
+    """Invert a small (n, n) matrix by Gauss-Jordan WITHOUT pivoting.
+
+    For near-identity matrices — the implicit solvers' W = I - h*gamma*J
+    and the Woodbury inner matrix M = I_nr - h*d*V@U inside the
+    controller's stability envelope — diagonal pivoting is safe, and
+    dropping the row swap removes the traced-permutation gather whose
+    reverse-mode transpose (a scatter-add) was the SINGLE HOTTEST op in
+    the case2 training epoch (26% of device time, runs/profile round-3
+    trace). Singular/badly-pivoted inputs produce inf/nan, which step
+    acceptance rejects — identical failure semantics to ``inv_small``.
+    """
+    n = a.shape[-1]
+    dtype = a.dtype
+    aug = jnp.concatenate([a, jnp.eye(n, dtype=dtype)], axis=-1)  # (n, 2n)
+    rows = jnp.arange(n)
+    for col in range(n):
+        pivrow = aug[col] / aug[col, col]
+        factors = jnp.where(rows == col, 0.0, aug[:, col])
+        aug = aug - factors[:, None] * pivrow[None, :]
+        aug = aug.at[col].set(pivrow)
+    return aug[:, n:]
+
+
 def solve_small(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     """Solve a @ x = b for small n (single right-hand side)."""
     return inv_small(a) @ b

@@ -31,7 +31,7 @@ import jax
 import jax.numpy as jnp
 
 from crnn_tpu.ode.base import RHS, Solver, StepResult, hermite_interp_matrix_from_endpoints
-from crnn_tpu.ode.linsolve import inv_small
+from crnn_tpu.ode.linsolve import inv_small_nopivot
 
 _D = 1.0 / (2.0 + math.sqrt(2.0))
 _E32 = 6.0 + math.sqrt(2.0)
@@ -71,7 +71,7 @@ class Rosenbrock23(Solver):
         w = eye - (dt * _D) * jac
         # clamp the inverse: near-singular W from a huge trial dt must not
         # inject inf into the (rejected) step's gradient graph
-        w_inv = jnp.clip(jnp.nan_to_num(inv_small(w), nan=0.0,
+        w_inv = jnp.clip(jnp.nan_to_num(inv_small_nopivot(w), nan=0.0,
                                         posinf=1e18, neginf=-1e18),
                          -1e18, 1e18)
 

@@ -23,7 +23,7 @@ import jax
 import jax.numpy as jnp
 
 from crnn_tpu.ode.base import RHS, Solver, StepResult, hermite_interp_matrix_from_endpoints
-from crnn_tpu.ode.linsolve import inv_small
+from crnn_tpu.ode.linsolve import inv_small_nopivot
 
 
 class ESDIRKTableau(NamedTuple):
@@ -110,7 +110,7 @@ class ESDIRK(Solver):
         w = eye - (dt * g) * jac
         # near-singular W (huge trial dt) can overflow the inverse; clamp
         # so discarded-step gradients stay finite (step is rejected via ok)
-        w_inv = jnp.clip(jnp.nan_to_num(inv_small(w), nan=0.0,
+        w_inv = jnp.clip(jnp.nan_to_num(inv_small_nopivot(w), nan=0.0,
                                         posinf=1e18, neginf=-1e18),
                          -1e18, 1e18)
 
