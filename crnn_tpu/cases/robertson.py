@@ -14,6 +14,7 @@ residual vector with a forward-mode Jacobian.
 from __future__ import annotations
 
 from dataclasses import dataclass
+from typing import Optional
 
 import jax
 import jax.numpy as jnp
@@ -55,6 +56,10 @@ class RobertsonConfig:
     # the BacksolveAdjoint analogue, O(n_save) memory instead of
     # O(max_steps) on the 10^5-second horizon; see docs/DESIGN.md table)
     grad_path: str = "rev_scan"
+    # static 0/1 keep-mask over w_out entries, shape (ns, nr) as a nested
+    # tuple — the hard-threshold pruning hook (case2_pruning.jl pattern);
+    # None = no pruning
+    w_out_mask: Optional[tuple] = None
     # training dtype: the reference runs Float64 (rober_crnn.jl:40) because
     # y2 ~ 3.6e-5 rides on y1 ~ 1; "float32" is the TPU-native experiment
     # (f64 on TPU is double-float emulation, ~6x slower) — truth data is
@@ -109,8 +114,15 @@ def build(cfg: RobertsonConfig = RobertsonConfig()) -> CaseSetup:
     solver = Rosenbrock23(jac=make_crnn_scaled_jac(cfg.lb, jnp.inf, dydt_scale,
                                                    exp_cap=32.0))
 
-    def weights_fn(p):
-        return p2vec_robertson(p, cfg.ns, cfg.nr)
+    if cfg.w_out_mask is not None:
+        keep = jnp.asarray(cfg.w_out_mask, train_dtype)
+
+        def weights_fn(p):
+            w = p2vec_robertson(p, cfg.ns, cfg.nr)
+            return w._replace(w_out=w.w_out * keep)
+    else:
+        def weights_fn(p):
+            return p2vec_robertson(p, cfg.ns, cfg.nr)
 
     def predict_from_u0(p, u0_i, unroll="scan"):
         w = weights_fn(p)
