@@ -51,8 +51,9 @@ def recovery_table(w_kf, w_out, mask):
             matched.add(best_name)
     rows.sort(key=lambda r: -r[2])
     for j, norm, rate, name, c in rows:
-        lines.append(f"| r{j+1} | {np.round(norm, 3).tolist()} | {rate:.3f} "
-                     f"| {name} | {c:+.3f} |")
+        lines.append(
+            f"| r{j+1} | {np.round(np.asarray(norm, np.float64), 3).tolist()}"
+            f" | {rate:.3f} | {name} | {c:+.3f} |")
     return lines, len(matched)
 
 
