@@ -216,7 +216,9 @@ def build_uq(cfg: CathodeUQConfig = CathodeUQConfig(),
 
 
 def run_uq(cfg: CathodeUQConfig = CathodeUQConfig(),
-           p_opt: Optional[np.ndarray] = None, verbose: bool = True):
+           p_opt: Optional[np.ndarray] = None, verbose: bool = True,
+           checkpoint_dir: Optional[str] = None,
+           checkpoint_every: int = 2500):
     """Full SVGD loop: per-iteration randperm over experiments, validation
     loss tracked without updates (crnn_cathode.jl:23-78).
 
@@ -270,6 +272,18 @@ def run_uq(cfg: CathodeUQConfig = CathodeUQConfig(),
             flush()
             print(f"svgd iter {it}: train {losses_train[-1]:.4e} "
                   f"val {losses_val[-1]:.4e}", flush=True)
+        # periodic crash-safe snapshot: long reference-scale runs (25k
+        # iters) must survive a kill — the reference checkpoints p_his
+        # every gap iters too (UQ callback.jl:184)
+        if checkpoint_dir and (it + 1) % checkpoint_every == 0:
+            flush()
+            import os
+            os.makedirs(checkpoint_dir, exist_ok=True)
+            np.save(os.path.join(checkpoint_dir, "particles_ckpt.npy"),
+                    np.asarray(particles))
+            np.savez(os.path.join(checkpoint_dir, "losses_ckpt.npz"),
+                     loss_train=np.asarray(losses_train),
+                     loss_val=np.asarray(losses_val), it=it + 1)
     flush()
     return particles, {
         "loss_train": losses_train,
@@ -316,8 +330,11 @@ if __name__ == "__main__":
                           stepsize_decay_epochs=args.decay_epochs,
                           maxiters=args.maxiters, dp=args.dp)
     p_opt = np.load(args.p_opt) if args.p_opt else None
-    particles, info = run_uq(cfg, p_opt=p_opt)
     import os
+
+    particles, info = run_uq(
+        cfg, p_opt=p_opt,
+        checkpoint_dir=os.path.join(args.out, "cathode_uq"))
 
     from crnn_tpu.uq.posterior import (
         animate_particle_evolution, plot_correlation_heatmap,

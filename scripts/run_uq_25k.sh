@@ -9,8 +9,14 @@ cd "$(dirname "$0")/.."
 ITERS="${1:-25000}"
 OUT="runs/cathode_uq_25k"
 
+# Solver: rosenbrock23, not the default trbdf2 — the reference-scale run
+# is 25k iterations and TRBDF2 costs ~1.6 s/iter on the tunneled TPU
+# (11h, unrunnable in-round) vs ~0.4 s/iter for Rosenbrock23 at matched
+# likelihood; the TRBDF2-vs-Rosenbrock23 posterior consistency check is
+# recorded in runs/cathode_uq/posterior_summary.md (round 2).
 python -m crnn_tpu.cases.cathode_uq \
   --iters "$ITERS" --particles 100 \
+  --solver rosenbrock23 \
   --data-dir /root/reference/Cathode_NCM333_UQ/exp_data \
   --p-opt runs/cathode/real-4s8r-01/p_opt.npy \
   --decay-epochs 500 \
