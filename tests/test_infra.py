@@ -117,6 +117,21 @@ def test_cathode_uq_iteration():
     assert float(jnp.mean(jnp.abs(p2 - particles))) > 0  # particles moved
 
 
+def test_cathode_uq_midrun_checkpoint(tmp_path):
+    """run_uq snapshots particles+losses mid-run so a killed
+    reference-scale run (25k iters) is resumable/salvageable."""
+    from crnn_tpu.cases.cathode_uq import CathodeUQConfig, run_uq
+
+    cfg = CathodeUQConfig(n_iters=3, num_particles=4, n_replicates=3,
+                          maxiters=256, solver="rosenbrock23")
+    run_uq(cfg, verbose=False, checkpoint_dir=str(tmp_path),
+           checkpoint_every=2)
+    ck = np.load(tmp_path / "particles_ckpt.npy")
+    assert ck.shape == (4, 17)
+    losses = np.load(tmp_path / "losses_ckpt.npz")
+    assert int(losses["it"]) == 2 and len(losses["loss_train"]) == 2
+
+
 def test_posterior_analysis():
     from crnn_tpu.uq.posterior import (
         ParticleHistory, kendall_correlation, posterior_moments,
