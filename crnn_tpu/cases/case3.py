@@ -149,11 +149,12 @@ def build(cfg: Case3Config = Case3Config()) -> CaseSetup:
     def loss_i_exp_eval(p, i_exp, mask):
         return loss_i_exp(p, i_exp, mask, unroll="while")
 
-    def loss_on_data(p, u0_i, ys_i, mask_i):
-        # index-free loss for data-parallel sharding (parallel/dp_runner.py)
+    def loss_on_data(p, u0_i, ys_i, mask_i, unroll="scan"):
+        # index-free loss for data-parallel sharding (parallel/dp_runner.py);
+        # eval passes request the early-exit while driver via unroll
         if cfg.variant == "case3":
             ys_i = jnp.clip(ys_i, cfg.lb, cfg.ub)
-        return loss_fn(predict_from_u0(p, u0_i), ys_i, mask_i)
+        return loss_fn(predict_from_u0(p, u0_i, unroll), ys_i, mask_i)
 
     trainer = Trainer(
         loss_i_exp=loss_i_exp,

@@ -20,15 +20,8 @@ def setup_cache(path: str = None) -> None:
             jax.config.update("jax_platforms", platform)
         except Exception:
             pass
-    # TPU's DEFAULT matmul precision is bf16 multiplies for f32 inputs —
-    # measured to corrupt solver dense-output reconstruction by ~0.5%
-    # (ops/rb23_solve_kernel.py). Stiff-ODE numerics need true f32: force
-    # highest precision globally; at this framework's matmul sizes
-    # (ns<=12, nr<=15) the 3-pass cost is unmeasurable.
-    try:
-        jax.config.update("jax_default_matmul_precision", "highest")
-    except Exception:
-        pass
+    # (true-f32 matmul precision is forced once at package import —
+    # crnn_tpu/__init__.py — which necessarily ran before this helper)
     global _CACHE_INITIALISED
     if _CACHE_INITIALISED or os.environ.get("CRNN_TPU_NO_CACHE"):
         return

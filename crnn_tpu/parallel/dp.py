@@ -78,10 +78,26 @@ def make_dp_eval(
     axis_name: str = "exp",
 ) -> Callable:
     """Batched per-experiment loss evaluation, sharded over the mesh.
-    Returns eval(params, u0s, yss, masks) -> (n_exp,) losses (replicated)."""
+    Returns eval(params, u0s, yss, masks) -> (n_exp,) losses (replicated).
+
+    If ``loss_on_data`` accepts an ``unroll`` kwarg (the case-module
+    convention), the gradient-free eval requests the early-exiting while
+    driver instead of paying the fixed max_steps scan."""
+    import inspect
+
+    try:
+        accepts_unroll = "unroll" in inspect.signature(
+            loss_on_data).parameters
+    except (TypeError, ValueError):  # builtins/partials without signature
+        accepts_unroll = False
+    if accepts_unroll:
+        def eval_loss(p, u0_i, ys_i, mask_i):
+            return loss_on_data(p, u0_i, ys_i, mask_i, unroll="while")
+    else:
+        eval_loss = loss_on_data
 
     def local_eval(params, u0_l, ys_l, mask_l):
-        losses = jax.vmap(loss_on_data, in_axes=(None, 0, 0, 0))(
+        losses = jax.vmap(eval_loss, in_axes=(None, 0, 0, 0))(
             params, u0_l, ys_l, mask_l
         )
         return losses

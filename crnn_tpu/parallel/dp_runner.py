@@ -11,7 +11,11 @@ counts beyond one chip, exposed as a first-class framework feature
 
 Experiment counts that don't divide the mesh are padded with zero-weight
 lanes; the padded lanes solve (cheap, identical program) but contribute
-nothing to loss, gradient, or metrics.
+nothing to loss, gradient, or metrics. Padded lanes REPEAT the last real
+experiment rather than zero-filling: a zero u0 row is out-of-domain for
+RHS features (case2's 1/(R*T) is inf at T=0) and reverse-mode AD turns
+the lane's zero cotangent into 0*inf = NaN, which the gradient psum
+would spread to every device.
 """
 
 from __future__ import annotations
@@ -31,13 +35,16 @@ from crnn_tpu.train.loop import TrainState
 from crnn_tpu.train.loss import prefix_mask
 
 
-def _pad_to(arr, n, axis=0):
+def _pad_to(arr, n, axis=0, mode="edge"):
+    """Pad to n rows. mode='edge' repeats the last real row (in-domain
+    data for padded lanes — see module docstring); weights use
+    mode='constant' so padded lanes carry zero weight."""
     pad = n - arr.shape[axis]
     if pad <= 0:
         return arr
     widths = [(0, 0)] * arr.ndim
     widths[axis] = (0, pad)
-    return jnp.pad(arr, widths)
+    return jnp.pad(arr, widths, mode=mode)
 
 
 def run_case_dp(
@@ -60,6 +67,12 @@ def run_case_dp(
         raise ValueError(
             f"case {setup.name!r} does not define loss_on_data; "
             "data-parallel training is unavailable for it")
+    if setup.trainer.mode == "sequential":
+        raise ValueError(
+            "dp training uses batch semantics (one global-mean update per "
+            "epoch); sequential per-experiment updates cannot shard over "
+            "the experiment axis. Use --mode batch with --dp, or drop "
+            "--dp for reference-faithful sequential SGD.")
     from crnn_tpu.infra.checkpoint import load_checkpoint, save_checkpoint
     from crnn_tpu.infra.metrics import MetricsLogger
     from crnn_tpu.infra.plotting import display_weights, plot_loss_curves
@@ -83,7 +96,8 @@ def run_case_dp(
     u0_tr = jax.device_put(_pad_to(ds.u0[:n_upd], pad_train), shard)
     ys_tr = jax.device_put(_pad_to(ds.ys[:n_upd], pad_train), shard)
     w_tr = jax.device_put(
-        _pad_to(jnp.ones((n_upd,), dtype), pad_train), shard)
+        _pad_to(jnp.ones((n_upd,), dtype), pad_train, mode="constant"),
+        shard)
     u0_all = jax.device_put(_pad_to(ds.u0, pad_all), shard)
     ys_all = jax.device_put(_pad_to(ds.ys, pad_all), shard)
     mask_all = jax.device_put(jnp.ones((pad_all, n_save), dtype), shard)
@@ -120,29 +134,45 @@ def run_case_dp(
     logger = MetricsLogger(os.path.join(run_dir, "metrics.jsonl"),
                            print_every=0)
     history = {"loss_train": [], "loss_val": [], "grad_norm": []}
+    # device scalars accumulated and flushed in bulk: on the tunneled TPU
+    # a float() per epoch is a full host round-trip that serialises the
+    # pipeline (same discipline as cases/base.py's batched metric flush)
+    pending = []
     t_start = time.time()
+
+    def flush():
+        if not pending:
+            return
+        arr = np.asarray(jnp.stack([jnp.stack(t) for t in pending]))
+        history["loss_train"].extend(arr[:, 0].tolist())
+        history["loss_val"].extend(arr[:, 1].tolist())
+        history["grad_norm"].extend(arr[:, 2].tolist())
+        pending.clear()
 
     for e in range(epoch0, epoch0 + n_epoch):
         masks = sample_masks()
         params, opt_state, loss, gnorm = step(
             params, opt_state, u0_tr, ys_tr, masks, w_tr)
         losses = eval_fn(params, u0_all, ys_all, mask_all)[:n_exp]
-        lt = float(jnp.mean(losses[:n_train]))
-        lv = float(jnp.mean(losses[n_train:])) if n_exp > n_train else lt
-        history["loss_train"].append(lt)
-        history["loss_val"].append(float(lv))
-        history["grad_norm"].append(float(gnorm))
+        lt = jnp.mean(losses[:n_train])
+        lv = jnp.mean(losses[n_train:]) if n_exp > n_train else lt
+        pending.append((lt, lv, gnorm))
         if log_every and (e + 1) % log_every == 0:
-            logger.log(epoch=e + 1, loss_train=lt, loss_val=lv,
+            flush()
+            logger.log(epoch=e + 1, loss_train=history["loss_train"][-1],
+                       loss_val=history["loss_val"][-1],
                        grad_norm=history["grad_norm"][-1])
-            print(f"[dp x{n_devices}] epoch={e + 1} loss_train={lt:.4e} "
-                  f"loss_val={lv:.4e}", flush=True)
+            print(f"[dp x{n_devices}] epoch={e + 1} "
+                  f"loss_train={history['loss_train'][-1]:.4e} "
+                  f"loss_val={history['loss_val'][-1]:.4e}", flush=True)
         if (e + 1) % n_plot == 0 or e == epoch0 + n_epoch - 1:
+            flush()
             display_weights(setup.weights_fn(params), setup.dydt_scale)
             plot_loss_curves(history, os.path.join(fig_dir, "loss.png"))
             state = TrainState(params, opt_state,
                                jnp.asarray(e + 1, jnp.int32), state.key)
             save_checkpoint(ckpt_path, state)
+    flush()
 
     wall = time.time() - t_start
     print(f"[{setup.name}] dp x{n_devices}: {n_epoch} epochs in {wall:.1f}s "

@@ -56,6 +56,32 @@ def test_run_case_dp_padding(tmp_path):
                                float(m.loss_train), rtol=1e-5)
 
 
+def test_run_case_dp_padding_arrhenius_grads_finite(tmp_path):
+    """Non-divisible experiment count on a case with singular features at
+    u0=0 (case2: 1/(R*T) is inf at T=0): padded lanes must repeat real
+    data, or reverse-mode AD turns the zero lane-cotangent into 0*inf=NaN
+    and the psum poisons every device's gradient."""
+    from crnn_tpu.cases.base import run_case
+    from crnn_tpu.cases.case2 import Case2Config, build
+
+    s = build(Case2Config(n_exp_train=5, n_exp_test=2, datasize=10,
+                          max_steps=64))
+    _, history = run_case(s, n_epoch=2, out_dir=str(tmp_path),
+                          dp=4, log_every=0, n_plot=10)
+    assert np.isfinite(history["loss_train"]).all()
+    assert np.isfinite(history["grad_norm"]).all()
+
+
+def test_run_case_dp_rejects_sequential_mode(tmp_path):
+    from crnn_tpu.cases.base import run_case
+    from crnn_tpu.cases.case1 import Case1Config, build
+
+    setup = build(Case1Config(n_exp_train=2, n_exp_test=1, datasize=8,
+                              mode="sequential"))
+    with pytest.raises(ValueError, match="sequential"):
+        run_case(setup, n_epoch=1, out_dir=str(tmp_path), dp=2)
+
+
 def test_run_case_dp_requires_loss_on_data(tmp_path):
     from crnn_tpu.cases.base import CaseSetup, run_case
     from crnn_tpu.cases.case1 import Case1Config, build
