@@ -14,9 +14,12 @@ OUT="runs/cathode_uq_25k"
 # (11h, unrunnable in-round) vs ~0.4 s/iter for Rosenbrock23 at matched
 # likelihood; the TRBDF2-vs-Rosenbrock23 posterior consistency check is
 # recorded in runs/cathode_uq/posterior_summary.md (round 2).
+# --chunk 100: fuse 100 iterations per dispatch — the tunneled TPU pays
+# ~1 s dispatch latency per host round-trip, which dominated the unfused
+# loop at this scale.
 python -m crnn_tpu.cases.cathode_uq \
   --iters "$ITERS" --particles 100 \
-  --solver rosenbrock23 \
+  --solver rosenbrock23 --chunk 100 \
   --data-dir /root/reference/Cathode_NCM333_UQ/exp_data \
   --p-opt runs/cathode/real-4s8r-01/p_opt.npy \
   --decay-epochs 500 \
