@@ -132,6 +132,23 @@ def test_cathode_uq_midrun_checkpoint(tmp_path):
     assert int(losses["it"]) == 2 and len(losses["loss_train"]) == 2
 
 
+def test_cathode_uq_chunked_matches_unfused():
+    """--chunk N (N iterations fused into one dispatch) must be
+    bit-identical to the per-iteration loop: same permutation stream,
+    stepsize schedule, loss curves, and final particles."""
+    from crnn_tpu.cases.cathode_uq import CathodeUQConfig, run_uq
+
+    cfg = CathodeUQConfig(n_iters=5, num_particles=4, n_replicates=3,
+                          maxiters=96, rtol=1e-3, solver="rosenbrock23",
+                          stepsize_decay_epochs=2)
+    p1, i1 = run_uq(cfg, verbose=False)
+    p2, i2 = run_uq(cfg, verbose=False, chunk=2)   # 2+2+1 incl. remainder
+    np.testing.assert_allclose(np.asarray(p1), np.asarray(p2), rtol=1e-12)
+    np.testing.assert_allclose(i1["loss_train"], i2["loss_train"],
+                               rtol=1e-12)
+    np.testing.assert_allclose(i1["loss_val"], i2["loss_val"], rtol=1e-12)
+
+
 def test_posterior_analysis():
     from crnn_tpu.uq.posterior import (
         ParticleHistory, kendall_correlation, posterior_moments,
