@@ -19,7 +19,8 @@ import numpy as np
 from robertson_parity import REF_W_IN, REF_W_OUT_SCALE
 
 
-def main(p_path, seed=7, out_md=None, cutoff=0.01, finetune=4000):
+def main(p_path, seed=7, out_md=None, cutoff=0.01, finetune=4000,
+         lr=1e-4):
     import jax
     import jax.numpy as jnp
 
@@ -44,7 +45,7 @@ def main(p_path, seed=7, out_md=None, cutoff=0.01, finetune=4000):
           f"(relative cutoff {cutoff})", flush=True)
 
     setup_p = build(RobertsonConfig(
-        seed=seed, lr=1e-4,
+        seed=seed, lr=lr,
         w_out_mask=tuple(tuple(int(v) for v in row) for row in keep)))
     mask_all = jnp.ones((cfg.datasize,), jnp.float64)
     loss_i = setup_p.extras["loss_i_exp"]
@@ -103,4 +104,6 @@ if __name__ == "__main__":
     p_path = sys.argv[1] if len(sys.argv) > 1 else "runs/robertson_long/p_seed7_r3_final.npy"
     seed = int(sys.argv[2]) if len(sys.argv) > 2 else 7
     out = sys.argv[3] if len(sys.argv) > 3 else None
-    main(p_path, seed, out)
+    finetune = int(sys.argv[4]) if len(sys.argv) > 4 else 4000
+    lr = float(sys.argv[5]) if len(sys.argv) > 5 else 1e-4
+    main(p_path, seed, out, finetune=finetune, lr=lr)
