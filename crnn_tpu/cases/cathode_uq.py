@@ -218,7 +218,8 @@ def build_uq(cfg: CathodeUQConfig = CathodeUQConfig(),
 def run_uq(cfg: CathodeUQConfig = CathodeUQConfig(),
            p_opt: Optional[np.ndarray] = None, verbose: bool = True,
            checkpoint_dir: Optional[str] = None,
-           checkpoint_every: int = 2500, chunk: int = 0):
+           checkpoint_every: int = 2500, chunk: int = 0,
+           resume: bool = False):
     """Full SVGD loop: per-iteration randperm over experiments, validation
     loss tracked without updates (crnn_cathode.jl:23-78).
 
@@ -236,6 +237,26 @@ def run_uq(cfg: CathodeUQConfig = CathodeUQConfig(),
     particles, svgd_iteration, ex = build_uq(cfg, p_opt)
     rng = np.random.default_rng(cfg.seed)
     history = ParticleHistory(cfg.gap)
+    start_it, resumed_train, resumed_val = 0, [], []
+    if resume and checkpoint_dir:
+        # crash-resume: the tunneled TPU worker can die mid-run; restart
+        # from the last periodic snapshot instead of iteration 0. The
+        # stepsize schedule and history cadence are functions of the
+        # absolute iteration index, so the resumed trajectory matches an
+        # uninterrupted run except for the rng permutation stream (which
+        # restarts — same distribution, different draws) and the particle
+        # history entries lost between snapshot and crash.
+        import os
+        pf = os.path.join(checkpoint_dir, "particles_ckpt.npy")
+        lf = os.path.join(checkpoint_dir, "losses_ckpt.npz")
+        if os.path.exists(pf) and os.path.exists(lf):
+            particles = jnp.asarray(np.load(pf))
+            saved = np.load(lf)
+            start_it = int(saved["it"])
+            resumed_train = saved["loss_train"].tolist()
+            resumed_val = saved["loss_val"].tolist()
+            if verbose:
+                print(f"resuming from {pf} at iter {start_it}", flush=True)
     loss_all = jax.vmap(ex["loss_one"], in_axes=(0, None))
     val_index = cfg.val_index
     train_ids = np.asarray(
@@ -260,8 +281,8 @@ def run_uq(cfg: CathodeUQConfig = CathodeUQConfig(),
                 return p, (jnp.mean(mlosses), val_loss, p)
             return jax.lax.scan(body, particles, (perms, stepsizes))
 
-        losses_train, losses_val = [], []
-        it = 0
+        losses_train, losses_val = resumed_train, resumed_val
+        it = start_it
         while it < cfg.n_iters:
             c = min(chunk, cfg.n_iters - it)
             perms = np.stack([rng.permutation(train_ids) for _ in range(c)])
@@ -304,9 +325,10 @@ def run_uq(cfg: CathodeUQConfig = CathodeUQConfig(),
         val_loss = jnp.mean(loss_all(particles, val_index))
         return particles, jnp.mean(mlosses), val_loss
 
-    losses_train, losses_val = [], []
+    losses_train, losses_val = resumed_train, resumed_val
     pending = []       # device scalars, flushed in bulk (ONE transfer each)
-    stepsize = cfg.stepsize
+    stepsize = cfg.stepsize * (
+        cfg.stepsize_decay ** (start_it // cfg.stepsize_decay_epochs))
 
     def flush():
         if pending:
@@ -315,7 +337,7 @@ def run_uq(cfg: CathodeUQConfig = CathodeUQConfig(),
             losses_val.extend(arr[:, 1].tolist())
             pending.clear()
 
-    for it in range(cfg.n_iters):
+    for it in range(start_it, cfg.n_iters):
         perm = jnp.asarray(rng.permutation(train_ids))
         particles, mtrain, mval = one_iteration(particles, perm, stepsize)
         pending.append((mtrain, mval))
@@ -381,7 +403,13 @@ if __name__ == "__main__":
     ap.add_argument("--chunk", type=int, default=0,
                     help="fuse N SVGD iterations into one jitted dispatch "
                          "(remote-tunnel TPUs pay ~1 s dispatch latency per "
-                         "host round-trip; 100 recommended for long runs)")
+                         "host round-trip). Keep the fused program under "
+                         "~10 s of device time: the tunneled worker "
+                         "reproducibly crashed on ~40 s programs (chunk=100 "
+                         "at 100 particles), so 10-25 is the safe range")
+    ap.add_argument("--resume", action="store_true",
+                    help="resume from the periodic snapshot in <out>/"
+                         "cathode_uq/ if present (crash recovery)")
     args = ap.parse_args()
     cfg = CathodeUQConfig(n_iters=args.iters, num_particles=args.particles,
                           data_dir=args.data_dir, solver=args.solver,
@@ -393,7 +421,7 @@ if __name__ == "__main__":
     particles, info = run_uq(
         cfg, p_opt=p_opt,
         checkpoint_dir=os.path.join(args.out, "cathode_uq"),
-        chunk=args.chunk)
+        chunk=args.chunk, resume=args.resume)
 
     from crnn_tpu.uq.posterior import (
         animate_particle_evolution, plot_correlation_heatmap,

@@ -132,6 +132,31 @@ def test_cathode_uq_midrun_checkpoint(tmp_path):
     assert int(losses["it"]) == 2 and len(losses["loss_train"]) == 2
 
 
+def test_cathode_uq_resume_from_checkpoint(tmp_path):
+    """--resume restarts from the periodic snapshot: the resumed run
+    starts at the saved iteration with the saved particles and a
+    decay-adjusted stepsize, and extends (not overwrites) the loss
+    history. Both loop paths (unfused and chunked) honour it."""
+    from crnn_tpu.cases.cathode_uq import CathodeUQConfig, run_uq
+
+    cfg = CathodeUQConfig(n_iters=2, num_particles=4, n_replicates=3,
+                          maxiters=256, solver="rosenbrock23",
+                          stepsize_decay_epochs=2)
+    run_uq(cfg, verbose=False, checkpoint_dir=str(tmp_path),
+           checkpoint_every=2)
+    ck = np.load(tmp_path / "particles_ckpt.npy")
+
+    cfg4 = CathodeUQConfig(n_iters=4, num_particles=4, n_replicates=3,
+                           maxiters=256, solver="rosenbrock23",
+                           stepsize_decay_epochs=2)
+    p_res, info = run_uq(cfg4, verbose=False, checkpoint_dir=str(tmp_path),
+                         checkpoint_every=10, resume=True, chunk=2)
+    # history carried over: 2 saved + 2 new iterations
+    assert len(info["loss_train"]) == 4
+    # and the resumed run really moved on from the snapshot particles
+    assert float(np.mean(np.abs(np.asarray(p_res) - ck))) > 0
+
+
 def test_cathode_uq_chunked_matches_unfused():
     """--chunk N (N iterations fused into one dispatch) must be
     bit-identical to the per-iteration loop: same permutation stream,
