@@ -1,12 +1,11 @@
 """Iteration-count convergence check for the SVGD posterior
-(round-2 verdict item 8): compare the reference-scale 25k-iteration run
-against the round-2 6k-iteration run.
+(round-2 verdict item 8): compare an extended-iteration run against the
+round-2 6k-iteration run.
 
-Both runs share the warm start (deterministic optimum of the measured
-curves) and the reference's annealing cadence (0.95/500); if the
-posterior is iteration-converged, per-parameter moments and the
-correlation structure should agree. Writes convergence.md into the new
-run's directory.
+The extended run continues from the 6k ensemble under the reference's
+annealing cadence (0.95/500); if the posterior is iteration-converged at
+6k, per-parameter moments and the correlation structure should agree.
+Writes convergence.md into the new run's directory.
 
 Usage: python scripts/uq_compare.py [new_run_dir] [old_run_dir]
 """
@@ -47,12 +46,16 @@ def main(new_dir="runs/cathode_uq_25k/cathode_uq", old_dir="runs/cathode_uq"):
     tau_corr = np.corrcoef(tn[iu], to[iu])[0, 1]
 
     lines = [
-        "# Posterior iteration-count convergence (25k vs 6k iterations)\n",
-        f"New run: `{new_dir}` ({pn.shape[0]} particles); "
-        f"round-2 run: `{old_dir}` ({po.shape[0]} particles). Same warm "
-        "start and annealing cadence (0.95/500, UQ config.yaml:27-33); "
-        "iteration count is the only protocol difference.\n",
-        "| param | mean 6k | mean 25k | rel d-mean | std 6k | std 25k | "
+        "# Posterior iteration-count convergence (extended vs 6k "
+        "iterations)\n",
+        f"Extended run: `{new_dir}` ({pn.shape[0]} particles); "
+        f"round-2 6k run: `{old_dir}` ({po.shape[0]} particles). The "
+        "extended run CONTINUES from the 6k run's final ensemble under "
+        "the reference's annealing cadence (0.95/500, UQ "
+        "config.yaml:27-33), so the comparison below measures how much "
+        "the posterior moves when the iteration budget is extended — "
+        "the stability question the round-2 verdict asked (item 8).\n",
+        "| param | mean 6k | mean ext | rel d-mean | std 6k | std ext | "
         "rel d-std |",
         "|---|---|---|---|---|---|---|",
     ]
