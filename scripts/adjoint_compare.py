@@ -24,6 +24,16 @@ def measure(grad_path, n_iters=5):
     setup = build(RobertsonConfig(grad_path=grad_path))
     st = setup.trainer.init(setup.init_params)
     step = setup.trainer.epoch_fn()
+    # XLA's own allocation accounting for the compiled epoch program —
+    # the tunneled TPU backend reports no live memory_stats(), but the
+    # compiled executable's temp-buffer size is exactly the quantity the
+    # rev_scan-vs-adjoint comparison is about (saved residuals for the
+    # backward pass live in temps).
+    try:
+        ma = step.lower(st).compile().memory_analysis()
+        temp_mb = ma.temp_size_in_bytes / 1e6
+    except Exception:
+        temp_mb = float("nan")
     st, m = step(st)
     m.loss_train.block_until_ready()
     t0 = time.perf_counter()
@@ -31,12 +41,7 @@ def measure(grad_path, n_iters=5):
         st, m = step(st)
     m.loss_train.block_until_ready()
     ms = (time.perf_counter() - t0) / n_iters * 1e3
-    try:
-        stats = jax.local_devices()[0].memory_stats() or {}
-        peak = stats.get("peak_bytes_in_use", 0) / 1e6
-    except Exception:
-        peak = float("nan")
-    return ms, peak, float(m.loss_train), float(m.grad_norm)
+    return ms, temp_mb, float(m.loss_train), float(m.grad_norm)
 
 
 def main():
@@ -50,7 +55,7 @@ def main():
     lines = [
         "\n### Continuous adjoint vs checkpointed reverse-scan "
         "(robertson, 10^5 s horizon, TPU v5e-1)\n",
-        "| grad path | ms/epoch | peak device MB | loss after warmup | grad norm |",
+        "| grad path | ms/epoch | XLA temp buffers MB | loss after warmup | grad norm |",
         "|---|---|---|---|---|",
     ]
     for gp, ms, peak, loss, gnorm in rows:
@@ -59,11 +64,14 @@ def main():
     lines.append(
         "\nThe backsolve adjoint (`RobertsonConfig(grad_path='adjoint')`, "
         "ode/adjoint.py) carries O(n_save) checkpoints instead of the "
-        "remat scan's O(max_steps) saved carries; on the strongly stiff "
-        "Robertson horizon the backward re-integration costs extra solver "
-        "steps, so it trades wall-clock for memory exactly as "
-        "BacksolveAdjoint(checkpointing=true) does in the reference "
-        "(case2/case2.jl:123, yeast_glycolysis.jl:148).")
+        "remat scan's O(max_steps) saved carries — the reference's "
+        "BacksolveAdjoint(checkpointing=true) trade (case2/case2.jl:123). "
+        "Measured at robertson scale the trade pays on neither axis: "
+        "gradients agree across the two AD paths, but the backward "
+        "re-integration re-solves the stiff horizon (slower) and the "
+        "augmented (ns+np)-system temporaries exceed the remat scan's "
+        "tiny per-step carries (ns=3 f64s). The remat scan is the right "
+        "default at this suite's sizes; adjoint stays opt-in.")
     with open("docs/DESIGN.md", "a") as f:
         f.write("\n".join(lines) + "\n")
     print("appended table to docs/DESIGN.md", flush=True)
