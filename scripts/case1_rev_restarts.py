@@ -80,6 +80,43 @@ def main():
     best_p = np.array(ps)            # writable copy (np.asarray of a jax
                                      # array is a read-only view)
 
+    os.makedirs(args.out, exist_ok=True)
+    tag = f"nr{cfg.nr}_r{R}"
+
+    def snapshot():
+        # crash/timeout insurance: the sweep runs tens of minutes on a
+        # shared TPU window; persist the running per-restart best so a
+        # kill can be post-processed offline.
+        np.save(os.path.join(args.out, f"p_best_{tag}.npy"), best_p)
+        np.save(os.path.join(args.out, f"val_best_{tag}.npy"), best_val)
+
+    def select_and_write(stage_note):
+        # basin selection: mechanism match first, then val
+        results = []
+        for r in range(R):
+            w = p2vec_reversible(jnp.asarray(best_p[r]), cfg.ns, cfg.nr)
+            w_kf = np.asarray(w.w_kb)
+            w_out = np.asarray(w.w_out)
+            lines, n_match = recovery_table(w_kf, w_out, [1] * cfg.nr)
+            results.append((n_match, float(best_val[r]), r, lines))
+        results.sort(key=lambda t: (-t[0], t[1]))
+        np.save(os.path.join(args.out, f"p_restarts_{tag}.npy"),
+                best_p[results[0][2]])
+        with open(os.path.join(args.out, f"restarts_{tag}.md"), "w") as f:
+            f.write(f"# case1_rev restart sweep: nr={cfg.nr}, {R} "
+                    f"restarts, stages {args.stages}, base seed "
+                    f"{args.base_seed} ({stage_note})\n\n")
+            f.write("| restart | best val | matched/4 |\n|---|---|---|\n")
+            for n_match, lv, r, _ in results:
+                f.write(f"| {r} | {lv:.4e} | {n_match} |\n")
+            n_match, lv, r, lines = results[0]
+            f.write(f"\n## Winner: restart {r} (val {lv:.4e})\n\n")
+            f.write("\n".join(lines) + "\n")
+            f.write(f"\n**{n_match}/4 true reversible reactions matched** "
+                    f"(|cos| > 0.95).\n")
+        print(f"[{stage_note}] WINNER restart {results[0][2]}: "
+              f"{results[0][0]}/4 at val {results[0][1]:.4e}", flush=True)
+
     for lr, n_epochs in stages:
         opt = optax.adamw(lr, weight_decay=cfg.weight_decay)
 
@@ -103,12 +140,13 @@ def main():
                     pn = np.asarray(ps)
                     best_val = np.where(better, lv, best_val)
                     best_p[better] = pn[better]
-                if (e + 1) % 5000 == 0 or e + 1 == 250:
+                if (e + 1) % 2500 == 0 or e + 1 == 250:
                     dt = (time.time() - t0) / (e + 1)
                     print(f"[lr={lr:g}] {e+1}/{n_epochs} "
                           f"({dt*1e3:.0f} ms/epoch) val min "
                           f"{np.nanmin(lv):.4e} med {np.nanmedian(lv):.4e} "
                           f"best {best_val.min():.4e}", flush=True)
+                    snapshot()
         lv = np.asarray(val_all(ps))
         better = np.isfinite(lv) & (lv < best_val)
         if better.any():
@@ -118,34 +156,10 @@ def main():
         print(f"[lr={lr:g}] stage done in {time.time()-t0:.0f}s; "
               f"best val {best_val.min():.4e}", flush=True)
         ps = jnp.asarray(best_p)   # next stage continues from per-restart best
+        snapshot()
+        select_and_write(f"through lr={lr:g} stage")
 
-    # ---- basin selection: mechanism match first, then val ----------------
-    results = []
-    for r in range(R):
-        w = p2vec_reversible(jnp.asarray(best_p[r]), cfg.ns, cfg.nr)
-        w_kf = np.asarray(w.w_kb)
-        w_out = np.asarray(w.w_out)
-        lines, n_match = recovery_table(w_kf, w_out, [1] * cfg.nr)
-        results.append((n_match, float(best_val[r]), r, lines))
-    results.sort(key=lambda t: (-t[0], t[1]))
-
-    os.makedirs(args.out, exist_ok=True)
-    tag = f"nr{cfg.nr}_r{R}"
-    np.save(os.path.join(args.out, f"p_restarts_{tag}.npy"),
-            best_p[results[0][2]])
-    with open(os.path.join(args.out, f"restarts_{tag}.md"), "w") as f:
-        f.write(f"# case1_rev restart sweep: nr={cfg.nr}, {R} restarts, "
-                f"stages {args.stages}, base seed {args.base_seed}\n\n")
-        f.write("| restart | best val | matched/4 |\n|---|---|---|\n")
-        for n_match, lv, r, _ in results:
-            f.write(f"| {r} | {lv:.4e} | {n_match} |\n")
-        n_match, lv, r, lines = results[0]
-        f.write(f"\n## Winner: restart {r} (val {lv:.4e})\n\n")
-        f.write("\n".join(lines) + "\n")
-        f.write(f"\n**{n_match}/4 true reversible reactions matched** "
-                f"(|cos| > 0.95).\n")
-    print(f"WINNER restart {results[0][2]}: {results[0][0]}/4 at val "
-          f"{results[0][1]:.4e} -> runs/.../restarts_{tag}.md", flush=True)
+    print(f"sweep complete -> {args.out}/restarts_{tag}.md", flush=True)
 
 
 if __name__ == "__main__":
