@@ -14,7 +14,7 @@ same chip. ``sequential_ms`` is the update-count-matched faithful mode
 (20 per-experiment updates/epoch in one jitted lax.scan, forward-mode
 gradients); ``vs_serial_seq`` = serial_dispatch / sequential.
 
-Breadth (VERDICT round-2 item 5) — one number per workload regime:
+Breadth — one number per workload regime:
 - ``fwd_ms``: case2 epoch with forward-mode (jacfwd) gradients through
   the early-exit while driver (the ForwardDiff.gradient analogue).
 - ``robertson_ms``: robertson f64 stiff epoch (25 exps x 40 log steps,
@@ -26,18 +26,75 @@ Breadth (VERDICT round-2 item 5) — one number per workload regime:
   100 solves serially).
 - ``eval_fused_ms`` / ``eval_xla_ms``: the no-grad 30-experiment eval
   re-solve via the whole-solve Pallas kernel vs the XLA batch-major
-  driver (ops/rb23_solve_kernel.py).
+  driver (ops/rb23_solve_kernel.py). Round-3 data: these tie at the
+  latency floor within the ~0.2 ms run-to-run tunnel variance.
 
-Prints ONE JSON line with all fields.
+Crash-hardening (round-4): a 60 s subprocess probe with retries runs
+BEFORE any compile so a dead backend fails in minutes, not after a
+20-minute hang; every metric is emitted as its own JSON line the moment
+it is measured (a mid-run outage still leaves the already-measured
+numbers in the output tail); metrics are ordered headline-first; each
+non-headline metric is individually exception-tolerant. The final line
+remains the ONE combined JSON object the driver parses.
 """
 
 from __future__ import annotations
 
 import json
+import os
+import subprocess
+import sys
 import time
 
-import jax
-import jax.numpy as jnp
+PROBE_TIMEOUT_S = 75
+PROBE_RETRIES = 3
+PROBE_BACKOFF_S = (20, 60)
+
+
+def _emit(tag: str, payload: dict) -> None:
+    """Incremental per-metric JSON line (the final combined line comes last)."""
+    print(json.dumps({"bench_partial": tag, **payload}), flush=True)
+
+
+def _probe_backend() -> None:
+    """Fail fast if the accelerator backend cannot run a trivial op.
+
+    Runs in a SUBPROCESS with a hard timeout: a hung backend init cannot
+    be interrupted in-process (round-3 outage hung ~20 min before failing).
+    Retries with backoff on timeout/UNAVAILABLE.
+    """
+    code = (
+        "import os, jax, jax.numpy as jnp;"
+        "p=os.environ.get('CRNN_TPU_PLATFORM');"  # honor the dev override
+        "p and jax.config.update('jax_platforms', p);"
+        "x=(jnp.ones((4,4))@jnp.ones((4,4))).block_until_ready();"
+        "print('PROBE_OK', jax.devices()[0].platform)"
+    )
+    last = ""
+    for attempt in range(PROBE_RETRIES):
+        try:
+            r = subprocess.run(
+                [sys.executable, "-c", code],
+                timeout=PROBE_TIMEOUT_S,
+                capture_output=True,
+                text=True,
+                env=os.environ.copy(),
+            )
+            if r.returncode == 0 and "PROBE_OK" in r.stdout:
+                _emit("probe", {"ok": True, "attempt": attempt + 1,
+                                "platform": r.stdout.split()[-1]})
+                return
+            last = (r.stderr or r.stdout).strip()[-400:]
+        except subprocess.TimeoutExpired:
+            last = f"probe timed out after {PROBE_TIMEOUT_S}s"
+        _emit("probe", {"ok": False, "attempt": attempt + 1, "error": last})
+        if attempt + 1 < PROBE_RETRIES:
+            time.sleep(PROBE_BACKOFF_S[min(attempt, len(PROBE_BACKOFF_S) - 1)])
+    print(json.dumps({
+        "metric": "backend probe failed — no perf numbers this run",
+        "value": None, "unit": "ms", "vs_baseline": None, "error": last,
+    }), flush=True)
+    sys.exit(1)
 
 
 def _time_epoch(setup, n_iters=30, warmup=1):
@@ -55,63 +112,117 @@ def _time_epoch(setup, n_iters=30, warmup=1):
 
 
 def main() -> None:
+    _probe_backend()
+
+    import jax
+    import jax.numpy as jnp
+
     from crnn_tpu.cases.case2 import Case2Config, build
 
     out = {}
 
-    # --- headline: shipped default case2 epoch ----------------------------
+    # --- headline FIRST: shipped default case2 epoch ----------------------
     setup = build(Case2Config())
     batched_ms = _time_epoch(setup, n_iters=30)
+    # Emit the headline immediately, with vs_baseline against the round-2
+    # driver-captured serial-dispatch number (417.42 ms, BENCH_r02.json);
+    # refined to the same-run serial measurement in the final line below.
+    _emit("headline", {"metric": "case2_batched_epoch", "value": round(batched_ms, 3),
+                       "unit": "ms", "vs_baseline_r2_serial": round(417.42 / batched_ms, 2)})
 
-    # --- forward-mode variant --------------------------------------------
-    s_fwd = build(Case2Config(grad_mode="fwd", batch_major=False))
-    s_fwd.trainer.grad_mode = "fwd"
-    out["fwd_ms"] = round(_time_epoch(s_fwd, n_iters=30), 3)
+    def _metric(name: str, fn) -> None:
+        try:
+            t0 = time.perf_counter()
+            out[name] = fn()
+            _emit(name, {"value": out[name],
+                         "measure_s": round(time.perf_counter() - t0, 1)})
+        except Exception as e:  # keep benching the remaining regimes
+            out[f"{name}_error"] = f"{type(e).__name__}: {e}"[:200]
+            _emit(name, {"error": out[f"{name}_error"]})
 
-    # --- sequential (reference-faithful; fwd-mode default) ----------------
-    s_seq = build(Case2Config(mode="sequential"))
-    out["sequential_ms"] = round(_time_epoch(s_seq, n_iters=10), 3)
+    # --- breadth metrics, cheapest-compile-first --------------------------
+    from crnn_tpu.cases.case3 import Case3Config
+    from crnn_tpu.cases.case3 import build as build_c3
+
+    _metric("case3_ms", lambda: round(
+        _time_epoch(build_c3(Case3Config()), n_iters=10), 3))
+
+    from crnn_tpu.cases.robertson import RobertsonConfig
+    from crnn_tpu.cases.robertson import build as build_rob
+
+    _metric("robertson_ms", lambda: round(
+        _time_epoch(build_rob(RobertsonConfig()), n_iters=10), 3))
+
+    def _svgd():
+        from crnn_tpu.cases.cathode_uq import CathodeUQConfig, build_uq
+
+        particles, svgd_step, _ = build_uq(CathodeUQConfig())
+        i0 = jnp.asarray(0)
+        new_p, _ = svgd_step(particles, i0, 2e-4)
+        new_p.block_until_ready()
+        t0 = time.perf_counter()
+        for _ in range(10):
+            new_p, _ = svgd_step(new_p, i0, 2e-4)
+        new_p.block_until_ready()
+        return round((time.perf_counter() - t0) / 10 * 1e3, 3)
+
+    _metric("svgd_iter_ms", _svgd)
+
+    def _fwd():
+        s_fwd = build(Case2Config(grad_mode="fwd", batch_major=False))
+        s_fwd.trainer.grad_mode = "fwd"
+        return round(_time_epoch(s_fwd, n_iters=30), 3)
+
+    _metric("fwd_ms", _fwd)
+
+    _metric("sequential_ms", lambda: round(
+        _time_epoch(build(Case2Config(mode="sequential")), n_iters=10), 3))
 
     # --- serial per-experiment dispatch (the reference's loop shape) ------
-    import optax
+    def _serial():
+        import optax
 
-    cfg = Case2Config()
-    ds = setup.dataset
-    trainer = setup.trainer
-    loss_i = trainer.loss_i_exp
-    loss_j = jax.jit(loss_i)
-    mask = jnp.ones((cfg.datasize,), ds.ys.dtype)
-    optimizer = trainer.optimizer
-    p = setup.init_params
-    opt_state = optimizer.init(p)
+        cfg = Case2Config()
+        ds = setup.dataset
+        trainer = setup.trainer
+        loss_i = trainer.loss_i_exp
+        loss_j = jax.jit(loss_i)
+        mask = jnp.ones((cfg.datasize,), ds.ys.dtype)
+        optimizer = trainer.optimizer
+        p = setup.init_params
+        opt_state = optimizer.init(p)
 
-    serial_update = jax.jit(
-        lambda p, o, i: (lambda g: (lambda u, o2: (optax.apply_updates(p, u), o2))(
-            *optimizer.update(g, o, p)))(jax.grad(loss_i)(p, i, mask))
-    )
-    serial_update(p, opt_state, jnp.asarray(0))[0].block_until_ready()
-    loss_j(p, jnp.asarray(0), mask).block_until_ready()
+        serial_update = jax.jit(
+            lambda p, o, i: (lambda g: (lambda u, o2: (optax.apply_updates(p, u), o2))(
+                *optimizer.update(g, o, p)))(jax.grad(loss_i)(p, i, mask))
+        )
+        serial_update(p, opt_state, jnp.asarray(0))[0].block_until_ready()
+        loss_j(p, jnp.asarray(0), mask).block_until_ready()
 
-    n_serial = 3
-    t0 = time.perf_counter()
-    for _ in range(n_serial):
-        pp, oo = p, opt_state
-        for i in range(cfg.n_exp_train):
-            pp, oo = serial_update(pp, oo, jnp.asarray(i))
-        for i in range(cfg.n_exp):
-            loss_j(pp, jnp.asarray(i), mask)
-    jax.block_until_ready(pp)
-    serial_ms = (time.perf_counter() - t0) / n_serial * 1e3
+        n_serial = 3
+        t0 = time.perf_counter()
+        for _ in range(n_serial):
+            pp, oo = p, opt_state
+            for i in range(cfg.n_exp_train):
+                pp, oo = serial_update(pp, oo, jnp.asarray(i))
+            for i in range(cfg.n_exp):
+                loss_j(pp, jnp.asarray(i), mask)
+        jax.block_until_ready(pp)
+        return round((time.perf_counter() - t0) / n_serial * 1e3, 3)
+
+    _metric("serial_dispatch_ms", _serial)
 
     # --- eval-pass: whole-solve Pallas kernel vs XLA driver ---------------
-    try:
+    def _eval_pair():
+        from crnn_tpu.ode.batch_solve import batch_odesolve_rb23
         from crnn_tpu.ops.crnn_kernels import (
             make_arrhenius_factor_op, make_arrhenius_ops,
         )
-        from crnn_tpu.ode.batch_solve import batch_odesolve_rb23
         from crnn_tpu.ops.rb23_solve_kernel import make_arrhenius_fused_solve
         from crnn_tpu.transforms.p2vec import p2vec_case2
 
+        cfg = Case2Config()
+        ds = setup.dataset
         w = p2vec_case2(setup.init_params, cfg.ns, cfg.nr)
         t1 = float(cfg.datasize * cfg.tstep)
         saveat = jnp.linspace(0.0, t1, cfg.datasize)
@@ -131,6 +242,7 @@ def main() -> None:
             cfg.ns, cfg.nr, cfg.lb, cfg.ub, 0.0, t1, saveat, cfg.rtol,
             cfg.atol, cfg.max_steps))
 
+        pair = {}
         for name, fn in (("eval_xla_ms", lambda u: xla_solve(u, w)),
                          ("eval_fused_ms", lambda u: fused(u, w)[0])):
             r = fn(ds.u0)
@@ -139,47 +251,29 @@ def main() -> None:
             for _ in range(50):
                 r = fn(ds.u0)
             jax.block_until_ready(r)
-            out[name] = round((time.perf_counter() - t0) / 50 * 1e3, 3)
+            pair[name] = round((time.perf_counter() - t0) / 50 * 1e3, 3)
+        return pair
+
+    try:
+        pair = _eval_pair()
+        out.update(pair)
+        _emit("eval_pair", pair)
     except Exception as e:  # Pallas path is TPU-toolchain-sensitive
         out["eval_fused_error"] = f"{type(e).__name__}"
+        _emit("eval_pair", {"error": out["eval_fused_error"]})
 
-    # --- robertson f64 stiff epoch ----------------------------------------
-    from crnn_tpu.cases.robertson import RobertsonConfig
-    from crnn_tpu.cases.robertson import build as build_rob
-
-    out["robertson_ms"] = round(
-        _time_epoch(build_rob(RobertsonConfig()), n_iters=10), 3)
-
-    # --- case3 explicit throughput epoch ----------------------------------
-    from crnn_tpu.cases.case3 import Case3Config
-    from crnn_tpu.cases.case3 import build as build_c3
-
-    out["case3_ms"] = round(
-        _time_epoch(build_c3(Case3Config()), n_iters=10), 3)
-
-    # --- one 100-particle SVGD iteration ----------------------------------
-    from crnn_tpu.cases.cathode_uq import CathodeUQConfig, build_uq
-
-    particles, svgd_step, _ = build_uq(CathodeUQConfig())
-    i0 = jnp.asarray(0)
-    new_p, _ = svgd_step(particles, i0, 2e-4)
-    new_p.block_until_ready()
-    t0 = time.perf_counter()
-    for _ in range(10):
-        new_p, _ = svgd_step(new_p, i0, 2e-4)
-    new_p.block_until_ready()
-    out["svgd_iter_ms"] = round((time.perf_counter() - t0) / 10 * 1e3, 3)
-
+    serial_ms = out.get("serial_dispatch_ms") or 417.42  # r2 driver capture
     out.update({
         "metric": "case2 per-epoch wall-clock (batched stiff solve+grad, "
                   "30 exps x 50 steps)",
         "value": round(batched_ms, 3),
         "unit": "ms",
         "vs_baseline": round(serial_ms / batched_ms, 2),
-        "serial_dispatch_ms": round(serial_ms, 3),
-        "vs_serial_seq": round(serial_ms / out["sequential_ms"], 2),
+        "serial_dispatch_ms": serial_ms,
+        "vs_serial_seq": (round(serial_ms / out["sequential_ms"], 2)
+                          if out.get("sequential_ms") else None),
     })
-    print(json.dumps(out))
+    print(json.dumps(out), flush=True)
 
 
 if __name__ == "__main__":

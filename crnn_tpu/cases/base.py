@@ -83,7 +83,10 @@ def run_case(
 
     logger = MetricsLogger(os.path.join(run_dir, "metrics.jsonl"),
                            print_every=0)
-    step = trainer.epoch_fn()
+    # guarded step: on-device best-val params (callback.jl:122-126) + NaN
+    # divergence guard (a non-finite epoch's update is discarded)
+    step = trainer.guarded_epoch_fn()
+    best = trainer.init_best(state)
     t_start = time.time()
 
     # Per-epoch host syncs would serialise the device pipeline; metrics are
@@ -115,7 +118,7 @@ def run_case(
         t_flush = time.time()
 
     for e in range(n_epoch):
-        state, m = step(state)
+        state, best, m = step(state, best)
         pending.append(m)
         if (e + 1) % flush_every == 0:
             _flush(e + 1)
@@ -141,5 +144,25 @@ def run_case(
     print(f"[{setup.name}] {n_epoch} epochs in {wall:.1f}s "
           f"({wall / max(n_epoch, 1) * 1e3:.1f} ms/epoch)", flush=True)
     save_checkpoint(ckpt_path, state)
+    best_host = jax.device_get(best)
+    n_skipped = int(best_host.n_skipped)
+    if n_skipped:
+        print(f"[{setup.name}] WARNING: {n_skipped} epochs produced "
+              f"non-finite loss/grad; their updates were discarded", flush=True)
+    if float(best_host.loss_val) < float("inf"):
+        if hasattr(best_host.params, "shape"):  # flat parameter vector
+            np.save(os.path.join(run_dir, "p_opt.npy"),
+                    np.asarray(best_host.params))
+        else:  # pytree (e.g. hybrid MLP params): flat-leaf npz
+            leaves, _ = jax.tree.flatten(best_host.params)
+            np.savez(os.path.join(run_dir, "p_opt.npz"),
+                     *[np.asarray(x) for x in leaves])
+        print(f"[{setup.name}] best val {float(best_host.loss_val):.4e} "
+              f"(train {float(best_host.loss_train):.4e}) -> p_opt",
+              flush=True)
+    history["best_val"] = float(best_host.loss_val)
+    history["best_train"] = float(best_host.loss_train)
+    history["n_skipped"] = n_skipped
+    history["best_params"] = best_host.params
     logger.close()
     return state, history

@@ -45,6 +45,15 @@ class EpochMetrics(NamedTuple):
     loss_exp: jnp.ndarray  # (n_exp,) per-experiment losses
 
 
+class BestState(NamedTuple):
+    """On-device best-so-far carry for Trainer.guarded_epoch_fn."""
+
+    params: Any
+    loss_val: jnp.ndarray    # best val loss seen (f32 scalar)
+    loss_train: jnp.ndarray  # train loss at the best-val epoch
+    n_skipped: jnp.ndarray   # epochs whose update was discarded (non-finite)
+
+
 @dataclass
 class Trainer:
     """loss_i_exp(params, i_exp, horizon_mask) -> scalar experiment loss."""
@@ -199,6 +208,56 @@ class Trainer:
     def epoch_fn(self) -> Callable:
         """The jitted (state) -> (state, metrics) single-epoch function."""
         return jax.jit(self._epoch)
+
+    def init_best(self, state: TrainState) -> "BestState":
+        """Initial best-params carry for guarded_epoch_fn."""
+        return BestState(
+            params=state.params,
+            loss_val=jnp.asarray(jnp.inf, jnp.float32),
+            loss_train=jnp.asarray(jnp.inf, jnp.float32),
+            n_skipped=jnp.asarray(0, jnp.int32),
+        )
+
+    def guarded_epoch_fn(self) -> Callable:
+        """Epoch step with on-device best-val tracking + NaN divergence guard.
+
+        Rebuilds the reference callback's best-so-far parameter snapshot
+        (Cathode/src/callback.jl:122-126) without per-epoch host syncs: the
+        best carry lives on-device and is folded with `where`. Additionally
+        (the reference has no equivalent, but its absence destroyed the
+        round-3 hychem artifact): if an epoch produces a non-finite train
+        loss or grad norm, the parameter/optimizer update is DISCARDED —
+        params and opt_state revert to their pre-epoch values — so one bad
+        step cannot poison the rest of the run.
+
+        Returns jitted (state, best) -> (state, best, metrics).
+        """
+
+        def guarded(state: TrainState, best: BestState):
+            new_state, m = self._epoch(state)
+            ok = jnp.isfinite(m.loss_train) & jnp.isfinite(m.grad_norm)
+
+            def keep(a, b):
+                return jnp.where(ok, a, b)
+
+            params = jax.tree.map(keep, new_state.params, state.params)
+            opt_state = jax.tree.map(keep, new_state.opt_state, state.opt_state)
+            new_state = TrainState(params, opt_state, new_state.epoch,
+                                   new_state.key)
+
+            is_best = ok & (m.loss_val < best.loss_val)
+            best = BestState(
+                params=jax.tree.map(
+                    lambda b, p: jnp.where(is_best, p, b), best.params, params),
+                loss_val=jnp.where(is_best, m.loss_val.astype(jnp.float32),
+                                   best.loss_val),
+                loss_train=jnp.where(is_best, m.loss_train.astype(jnp.float32),
+                                     best.loss_train),
+                n_skipped=best.n_skipped + jnp.where(ok, 0, 1).astype(jnp.int32),
+            )
+            return new_state, best, m
+
+        return jax.jit(guarded)
 
     def fit(self, state: TrainState, n_epochs: int,
             callback: Optional[Callable] = None,
