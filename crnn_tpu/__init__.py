@@ -33,12 +33,19 @@ __version__ = "0.3.0"
 # output, ops/rb23_solve_kernel.py). This is a scientific-computing
 # library: force true-f32 matmuls globally. At CRNN sizes (ns<=12) the
 # 3-pass cost is unmeasurable.
+import os as _os
+
 import jax as _jax
 
-try:
-    _jax.config.update("jax_default_matmul_precision", "highest")
-except Exception:  # pragma: no cover - older jax
-    pass
+# Opt-out for host applications that manage precision themselves:
+# CRNN_TPU_NO_PRECISION_OVERRIDE=1 leaves the global config untouched
+# (documented in README.md — this import otherwise mutates process-global
+# JAX config).
+if not _os.environ.get("CRNN_TPU_NO_PRECISION_OVERRIDE"):
+    try:
+        _jax.config.update("jax_default_matmul_precision", "highest")
+    except Exception:  # pragma: no cover - older jax
+        pass
 
 from crnn_tpu.ode import (  # noqa: F401
     ODESolution,

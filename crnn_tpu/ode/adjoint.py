@@ -21,6 +21,7 @@ Exposed as ``odesolve_adjoint(...)`` returning only ``ys`` with a
 
 from __future__ import annotations
 
+import copy
 import functools
 from typing import Any
 
@@ -66,7 +67,10 @@ def odesolve_adjoint(
     # solver with its default (jacfwd) Jacobian for the backsolve
     bwd_solver = solver
     if getattr(solver, "jac", None) is not None:
-        bwd_solver = type(solver)()
+        # copy (not re-construct: ESDIRK needs a positional tableau and
+        # options like max_newton_iters must survive), then clear jac only
+        bwd_solver = copy.copy(solver)
+        bwd_solver.jac = None
 
     @jax.custom_vjp
     def _solve(y0, args):

@@ -45,7 +45,7 @@ import jax.numpy as jnp
 
 from crnn_tpu.ode.base import hermite_interp_matrix_from_endpoints
 from crnn_tpu.ode.controller import propose_dt
-from crnn_tpu.ode.linsolve import inv_small_nopivot
+from crnn_tpu.ode.linsolve import inv_small_nopivot_minpiv, pivot_ok
 
 _D = 1.0 / (2.0 + math.sqrt(2.0))
 _E32 = 6.0 + math.sqrt(2.0)
@@ -161,7 +161,7 @@ def batch_odesolve_rb23(
     # the pivoted variant's traced-permutation gather transposes to a
     # scatter-add that dominated the training epoch (runs/profile)
     eye = jnp.eye(ns, dtype=dtype)
-    batched_inv = jax.vmap(inv_small_nopivot)
+    batched_inv = jax.vmap(inv_small_nopivot_minpiv)
 
     def body(s: _Carry) -> _Carry:
         running = s.status == _RUNNING
@@ -178,7 +178,9 @@ def batch_odesolve_rb23(
             # inner matrix M = I_nr - h*d * V U, shared by all three solves
             m = jnp.eye(nr, dtype=dtype)[None] - hd[:, None, None] * jnp.einsum(
                 "brj,jq->brq", v_fac, u_fac)
-            m_inv = jnp.clip(jnp.nan_to_num(batched_inv(m), nan=0.0,
+            m_inv_raw, min_piv = batched_inv(m)
+            piv_good = pivot_ok(m, min_piv)  # (B,) — ADVICE r3 guard
+            m_inv = jnp.clip(jnp.nan_to_num(m_inv_raw, nan=0.0,
                                             posinf=1e18, neginf=-1e18),
                              -1e18, 1e18)
 
@@ -189,7 +191,9 @@ def batch_odesolve_rb23(
         else:
             f0, jac = f_jac(s.t, s.y, args)
             w = eye[None] - hd[:, None, None] * jac
-            w_inv = jnp.clip(jnp.nan_to_num(batched_inv(w), nan=0.0,
+            w_inv_raw, min_piv = batched_inv(w)
+            piv_good = pivot_ok(w, min_piv)  # (B,) — ADVICE r3 guard
+            w_inv = jnp.clip(jnp.nan_to_num(w_inv_raw, nan=0.0,
                                             posinf=1e18, neginf=-1e18),
                              -1e18, 1e18)
 
@@ -204,8 +208,11 @@ def batch_odesolve_rb23(
         k3 = wsolve(f2 - _E32 * (k2 - f1) - 2.0 * (k1 - f0))
         y_err = (dt / 6.0)[:, None] * (k1 - 2.0 * k2 + k3)
 
-        ok = jnp.all(jnp.isfinite(y1), axis=-1) & jnp.all(
-            jnp.isfinite(y_err), axis=-1)
+        # piv_good: a near-zero no-pivot diagonal yields a finite-but-wrong
+        # inverse AND error estimate — reject the lane's step outright
+        ok = (jnp.all(jnp.isfinite(y1), axis=-1)
+              & jnp.all(jnp.isfinite(y_err), axis=-1)
+              & jax.lax.stop_gradient(piv_good))
         err = jax.lax.stop_gradient(_lane_norm(y_err, s.y, y1, rtol, atol))
         err = jnp.where(ok, err, jnp.inf)
         accept = err <= 1.0

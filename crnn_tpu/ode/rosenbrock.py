@@ -31,7 +31,7 @@ import jax
 import jax.numpy as jnp
 
 from crnn_tpu.ode.base import RHS, Solver, StepResult, hermite_interp_matrix_from_endpoints
-from crnn_tpu.ode.linsolve import inv_small_nopivot
+from crnn_tpu.ode.linsolve import inv_small_nopivot_minpiv, pivot_ok
 
 _D = 1.0 / (2.0 + math.sqrt(2.0))
 _E32 = 6.0 + math.sqrt(2.0)
@@ -71,7 +71,8 @@ class Rosenbrock23(Solver):
         w = eye - (dt * _D) * jac
         # clamp the inverse: near-singular W from a huge trial dt must not
         # inject inf into the (rejected) step's gradient graph
-        w_inv = jnp.clip(jnp.nan_to_num(inv_small_nopivot(w), nan=0.0,
+        w_inv_raw, min_piv = inv_small_nopivot_minpiv(w)
+        w_inv = jnp.clip(jnp.nan_to_num(w_inv_raw, nan=0.0,
                                         posinf=1e18, neginf=-1e18),
                          -1e18, 1e18)
 
@@ -88,7 +89,10 @@ class Rosenbrock23(Solver):
         y_err = (dt / 6.0) * (k1 - 2.0 * k2 + k3)
 
         dense = jnp.stack([f0, f2, (y1 - y) / dt])
-        ok = jnp.all(jnp.isfinite(y1)) & jnp.all(jnp.isfinite(y_err))
+        # pivot_ok: the no-pivot inverse can be finite-but-wrong when a
+        # diagonal pivot of W crosses ~0 — force rejection (ADVICE r3)
+        ok = (jnp.all(jnp.isfinite(y1)) & jnp.all(jnp.isfinite(y_err))
+              & pivot_ok(w, min_piv))
         return StepResult(y1=y1, y_err=y_err, dense=dense, state=f2, ok=ok)
 
     def interp_matrix(self, theta: jnp.ndarray) -> jnp.ndarray:

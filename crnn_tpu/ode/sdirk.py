@@ -23,7 +23,7 @@ import jax
 import jax.numpy as jnp
 
 from crnn_tpu.ode.base import RHS, Solver, StepResult, hermite_interp_matrix_from_endpoints
-from crnn_tpu.ode.linsolve import inv_small_nopivot
+from crnn_tpu.ode.linsolve import inv_small_nopivot_minpiv, pivot_ok
 
 
 class ESDIRKTableau(NamedTuple):
@@ -110,7 +110,8 @@ class ESDIRK(Solver):
         w = eye - (dt * g) * jac
         # near-singular W (huge trial dt) can overflow the inverse; clamp
         # so discarded-step gradients stay finite (step is rejected via ok)
-        w_inv = jnp.clip(jnp.nan_to_num(inv_small_nopivot(w), nan=0.0,
+        w_inv_raw, min_piv = inv_small_nopivot_minpiv(w)
+        w_inv = jnp.clip(jnp.nan_to_num(w_inv_raw, nan=0.0,
                                         posinf=1e18, neginf=-1e18),
                          -1e18, 1e18)
 
@@ -164,7 +165,8 @@ class ESDIRK(Solver):
         y_err = w_inv @ err_raw
 
         dense = jnp.stack([ks[0], f_end, (y1 - y) / dt])
-        ok = ok & jnp.all(jnp.isfinite(y1))
+        # pivot_ok: finite-but-wrong no-pivot inverse must reject (ADVICE r3)
+        ok = ok & jnp.all(jnp.isfinite(y1)) & pivot_ok(w, min_piv)
         return StepResult(y1=y1, y_err=y_err, dense=dense, state=f_end, ok=ok)
 
     def interp_matrix(self, theta: jnp.ndarray) -> jnp.ndarray:

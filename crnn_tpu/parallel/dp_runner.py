@@ -73,6 +73,14 @@ def run_case_dp(
             "epoch); sequential per-experiment updates cannot shard over "
             "the experiment axis. Use --mode batch with --dp, or drop "
             "--dp for reference-faithful sequential SGD.")
+    if getattr(setup.trainer, "grad_mode", "rev") == "fwd":
+        import warnings
+
+        warnings.warn(
+            "dp training always uses reverse-mode gradients; the case's "
+            "grad_mode='fwd' (jacfwd through the early-exit while driver) "
+            "does not apply under --dp and its perf characteristics differ",
+            stacklevel=2)
     from crnn_tpu.infra.checkpoint import load_checkpoint, save_checkpoint
     from crnn_tpu.infra.metrics import MetricsLogger
     from crnn_tpu.infra.plotting import display_weights, plot_loss_curves
