@@ -111,6 +111,10 @@ def build(cfg: Case1RevConfig = Case1RevConfig()) -> CaseSetup:
     def loss_i_exp_eval(p, i_exp, mask):
         return loss_i_exp(p, i_exp, mask, unroll="while")
 
+    def loss_on_data(p, u0_i, ys_i, mask_i, unroll="scan"):
+        # index-free loss for data-parallel sharding (parallel/dp_runner.py)
+        return loss_fn(predict_from_u0(p, u0_i, unroll), ys_i, mask_i)
+
     trainer = Trainer(
         loss_i_exp=loss_i_exp,
         loss_i_exp_eval=loss_i_exp_eval,
@@ -136,6 +140,7 @@ def build(cfg: Case1RevConfig = Case1RevConfig()) -> CaseSetup:
         weights_fn=weights_fn,
         dataset=dataset,
         species=["A", "B", "C", "D", "E"],
+        loss_on_data=loss_on_data,
     )
 
 
@@ -147,7 +152,9 @@ if __name__ == "__main__":
     ap.add_argument("--mode", default="batch")
     ap.add_argument("--restart", action="store_true")
     ap.add_argument("--out", default="runs")
+    ap.add_argument("--dp", type=int, default=0,
+                    help="data-parallel over N devices (-1 = all)")
     args = ap.parse_args()
     setup = build(Case1RevConfig(mode=args.mode))
     run_case(setup, n_epoch=args.epochs, out_dir=args.out,
-             restart=args.restart)
+             restart=args.restart, dp=args.dp)

@@ -116,6 +116,15 @@ def build(cfg: CathodeConfig = CathodeConfig()) -> CaseSetup:
         grad_mode="fwd",
     )
 
+    def loss_on_data(p, u0_i, ys_i, mask_i, unroll="scan"):
+        # dp sharding hook: the _DS.u0 row doubles as the experiment index
+        # (each experiment has its own time grid/beta, so the loss gathers
+        # the replicated ts/betas/masks constants through it)
+        i = u0_i.astype(jnp.int32)
+        pred = predict_hrr(p, i, unroll)
+        w = masks[i] * mask_i
+        return jnp.sum(jnp.abs(pred - ys_i[:, 0]) * w) / jnp.sum(w)
+
     key = jax.random.PRNGKey(cfg.seed)
 
     ts_row0 = np.asarray(ts[0])
@@ -135,6 +144,7 @@ def build(cfg: CathodeConfig = CathodeConfig()) -> CaseSetup:
         weights_fn=p2vec_cathode,
         dataset=_DS(),
         species=["HRR"],
+        loss_on_data=loss_on_data,
     )
     setup.extras["dsc"] = dsc
     setup.extras["config"] = cfg
@@ -202,6 +212,9 @@ if __name__ == "__main__":
     ap.add_argument("--epochs", type=int, default=None)
     ap.add_argument("--data-dir", default=None)
     ap.add_argument("--out", default="runs")
+    ap.add_argument("--dp", type=int, default=0,
+                    help="data-parallel over N devices (-1 = all); uses the "
+                         "generic dp runner instead of the YAML lifecycle")
     args = ap.parse_args()
     if args.config:
         cfg = config_from_yaml(CathodeConfig, args.config)
@@ -211,4 +224,11 @@ if __name__ == "__main__":
         cfg.n_epoch = args.epochs
     if args.data_dir:
         cfg.data_dir = args.data_dir
-    run_cathode(cfg, out_dir=args.out, config_yaml=args.config)
+    if args.dp:
+        from crnn_tpu.cases.base import run_case
+
+        cfg.mode = "batch"  # dp requires batch semantics (dp_runner.py)
+        run_case(build(cfg), n_epoch=cfg.n_epoch, out_dir=args.out,
+                 restart=cfg.is_restart, dp=args.dp)
+    else:
+        run_cathode(cfg, out_dir=args.out, config_yaml=args.config)

@@ -203,6 +203,15 @@ def build(cfg: HyChemConfig = HyChemConfig()) -> CaseSetup:
         w = mask[:, None]
         return jnp.sum(err * w) / (jnp.sum(w) * ns)
 
+    def loss_on_data(p, u0_i, ys_i, mask_i):
+        # index-free loss for data-parallel sharding; single trajectory, so
+        # u0_i is a placeholder and dp just replicates the solve
+        del u0_i
+        pred = predict(p)
+        err = jnp.abs(pred / yscale - ys_i / yscale)
+        w = mask_i[:, None]
+        return jnp.sum(err * w) / (jnp.sum(w) * ns)
+
     key = jax.random.PRNGKey(cfg.seed)
     init_p = (0.1 * jax.random.normal(key, (np_total,), dtype)).at[-1].set(0.1)
 
@@ -236,6 +245,7 @@ def build(cfg: HyChemConfig = HyChemConfig()) -> CaseSetup:
         dataset=_DS(),
         species=VARNAMES[:ns],
         logx_plots=True,
+        loss_on_data=loss_on_data,
     )
     setup.extras["e_null"] = e_null
     setup.extras["config"] = cfg
@@ -252,7 +262,18 @@ if __name__ == "__main__":
     ap.add_argument("--data", default=None)
     ap.add_argument("--project-elements", action="store_true")
     ap.add_argument("--out", default="runs")
+    ap.add_argument("--lr", type=float, default=None)
+    ap.add_argument("--grad-max", type=float, default=None)
+    ap.add_argument("--restart", action="store_true")
+    ap.add_argument("--dp", type=int, default=0,
+                    help="data-parallel over N devices (-1 = all)")
     args = ap.parse_args()
-    setup = build(HyChemConfig(data_path=args.data,
-                               project_elements=args.project_elements))
-    run_case(setup, n_epoch=args.epochs, out_dir=args.out)
+    cfg = HyChemConfig(data_path=args.data,
+                       project_elements=args.project_elements)
+    if args.lr is not None:
+        cfg.lr = args.lr
+    if args.grad_max is not None:
+        cfg.grad_max = args.grad_max
+    setup = build(cfg)
+    run_case(setup, n_epoch=args.epochs, out_dir=args.out,
+             restart=args.restart, dp=args.dp)

@@ -116,6 +116,10 @@ def build(cfg: QSSAConfig = QSSAConfig()) -> CaseSetup:
     def loss_i_exp_eval(params, i_exp, mask):
         return loss_i_exp(params, i_exp, mask, unroll="while")
 
+    def loss_on_data(params, u0_i, ys_i, mask_i, unroll="scan"):
+        # index-free loss for data-parallel sharding (parallel/dp_runner.py)
+        return loss_fn(predict_from_u0(params, u0_i, unroll), ys_i, mask_i)
+
     lim = (6.0 / (cfg.ns + cfg.nr)) ** 0.5
     pcrnn = jax.random.uniform(k_p, (np_crnn,), dtype, -lim, lim).at[-1].set(0.1)
     trainer = Trainer(
@@ -136,6 +140,7 @@ def build(cfg: QSSAConfig = QSSAConfig()) -> CaseSetup:
         weights_fn=weights_fn,
         dataset=dataset,
         logx_plots=True,
+        loss_on_data=loss_on_data,
     )
     setup.extras["mlp_apply"] = mlp_apply
     return setup
@@ -149,7 +154,13 @@ if __name__ == "__main__":
     ap.add_argument("--mode", default="batch")
     ap.add_argument("--restart", action="store_true")
     ap.add_argument("--out", default="runs")
+    ap.add_argument("--lr", type=float, default=None)
+    ap.add_argument("--dp", type=int, default=0,
+                    help="data-parallel over N devices (-1 = all)")
     args = ap.parse_args()
-    setup = build(QSSAConfig(mode=args.mode))
+    cfg = QSSAConfig(mode=args.mode)
+    if args.lr is not None:
+        cfg.lr = args.lr
+    setup = build(cfg)
     run_case(setup, n_epoch=args.epochs, out_dir=args.out,
-             restart=args.restart)
+             restart=args.restart, dp=args.dp)

@@ -119,6 +119,11 @@ def build(cfg: YeastConfig = YeastConfig()) -> CaseSetup:
     def loss_i_exp_eval(params, i_exp, mask):
         return loss_i_exp(params, i_exp, mask, unroll="while")
 
+    def loss_on_data(params, u0_i, ys_i, mask_i, unroll="scan"):
+        # index-free loss for data-parallel sharding (parallel/dp_runner.py)
+        pred = predict_from_u0(params, u0_i, unroll)
+        return loss_fn(pred, jnp.clip(ys_i, cfg.lb, cfg.ub), mask_i)
+
     updates_per_epoch = cfg.n_exp_train if cfg.mode == "sequential" else 1
     trainer = Trainer(
         loss_i_exp=loss_i_exp,
@@ -145,6 +150,7 @@ def build(cfg: YeastConfig = YeastConfig()) -> CaseSetup:
         predict=jax.jit(lambda p, i: predict_from_u0(p, dataset.u0[i])),
         weights_fn=weights_fn,
         dataset=dataset,
+        loss_on_data=loss_on_data,
     )
     setup.extras["mlp_apply"] = mlp_apply
     return setup
@@ -158,7 +164,16 @@ if __name__ == "__main__":
     ap.add_argument("--mode", default="batch")
     ap.add_argument("--restart", action="store_true")
     ap.add_argument("--out", default="runs")
+    ap.add_argument("--lr0", type=float, default=None)
+    ap.add_argument("--lr-decay-epochs", type=int, default=None)
+    ap.add_argument("--dp", type=int, default=0,
+                    help="data-parallel over N devices (-1 = all)")
     args = ap.parse_args()
-    setup = build(YeastConfig(mode=args.mode))
+    cfg = YeastConfig(mode=args.mode)
+    if args.lr0 is not None:
+        cfg.lr0 = args.lr0
+    if args.lr_decay_epochs is not None:
+        cfg.lr_decay_epochs = args.lr_decay_epochs
+    setup = build(cfg)
     run_case(setup, n_epoch=args.epochs, out_dir=args.out,
-             restart=args.restart)
+             restart=args.restart, dp=args.dp)

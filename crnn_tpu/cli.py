@@ -21,6 +21,7 @@ CASES = (
     "case1_rev",
     "case2",
     "case3",
+    "grn",
     "robertson",
     "robertson_qssa",
     "yeast",
