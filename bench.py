@@ -56,12 +56,16 @@ def _emit(tag: str, payload: dict) -> None:
     print(json.dumps({"bench_partial": tag, **payload}), flush=True)
 
 
-def _probe_backend() -> None:
+def _probe_backend() -> str:
     """Fail fast if the accelerator backend cannot run a trivial op.
 
     Runs in a SUBPROCESS with a hard timeout: a hung backend init cannot
     be interrupted in-process (round-3 outage hung ~20 min before failing).
-    Retries with backoff on timeout/UNAVAILABLE.
+    Retries with backoff on timeout/UNAVAILABLE. If the accelerator stays
+    unreachable, falls back to CPU (recorded in the output — a same-chip
+    perf record on the wrong platform beats an empty round artifact; the
+    round-3 TPU-tunnel outage yielded rc=1 and NO numbers).
+    Returns the platform the benchmark will run on.
     """
     code = (
         "import os, jax, jax.numpy as jnp;"
@@ -81,20 +85,22 @@ def _probe_backend() -> None:
                 env=os.environ.copy(),
             )
             if r.returncode == 0 and "PROBE_OK" in r.stdout:
+                platform = r.stdout.split()[-1]
                 _emit("probe", {"ok": True, "attempt": attempt + 1,
-                                "platform": r.stdout.split()[-1]})
-                return
+                                "platform": platform})
+                return platform
             last = (r.stderr or r.stdout).strip()[-400:]
         except subprocess.TimeoutExpired:
             last = f"probe timed out after {PROBE_TIMEOUT_S}s"
         _emit("probe", {"ok": False, "attempt": attempt + 1, "error": last})
         if attempt + 1 < PROBE_RETRIES:
             time.sleep(PROBE_BACKOFF_S[min(attempt, len(PROBE_BACKOFF_S) - 1)])
-    print(json.dumps({
-        "metric": "backend probe failed — no perf numbers this run",
-        "value": None, "unit": "ms", "vs_baseline": None, "error": last,
-    }), flush=True)
-    sys.exit(1)
+    _emit("probe", {"ok": False, "fallback": "cpu", "error": last})
+    os.environ["CRNN_TPU_PLATFORM"] = "cpu"  # consumed by infra.runtime
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    return "cpu (accelerator unreachable)"
 
 
 def _time_epoch(setup, n_iters=30, warmup=1):
@@ -112,14 +118,14 @@ def _time_epoch(setup, n_iters=30, warmup=1):
 
 
 def main() -> None:
-    _probe_backend()
+    platform = _probe_backend()
 
     import jax
     import jax.numpy as jnp
 
     from crnn_tpu.cases.case2 import Case2Config, build
 
-    out = {}
+    out = {"platform": platform}
 
     # --- headline FIRST: shipped default case2 epoch ----------------------
     setup = build(Case2Config())

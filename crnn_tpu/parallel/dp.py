@@ -65,8 +65,15 @@ def make_dp_train_step(
     def step(params, opt_state, u0s, yss, masks, weights):
         loss, g = smapped(params, u0s, yss, masks, weights)
         grad_norm = optax.global_norm(g)
-        updates, opt_state = optimizer.update(g, opt_state, params)
-        params = optax.apply_updates(params, updates)
+        updates, new_opt_state = optimizer.update(g, opt_state, params)
+        new_params = optax.apply_updates(params, updates)
+        # divergence guard (same policy as Trainer.guarded_epoch_fn): a
+        # non-finite loss/grad epoch must not poison the replicated params
+        # — discard the update, report the bad loss for observability
+        ok = jnp.isfinite(loss) & jnp.isfinite(grad_norm)
+        keep = lambda a, b: jnp.where(ok, a, b)  # noqa: E731
+        params = jax.tree.map(keep, new_params, params)
+        opt_state = jax.tree.map(keep, new_opt_state, opt_state)
         return params, opt_state, loss, grad_norm
 
     return step

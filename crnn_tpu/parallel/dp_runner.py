@@ -142,6 +142,22 @@ def run_case_dp(
     logger = MetricsLogger(os.path.join(run_dir, "metrics.jsonl"),
                            print_every=0)
     history = {"loss_train": [], "loss_val": [], "grad_norm": []}
+
+    # on-device best-val params fold (no per-epoch host sync; same policy
+    # as Trainer.guarded_epoch_fn / callback.jl:122-126)
+    @jax.jit
+    def fold_best(best_val, best_train, best_params, lv, lt, p):
+        better = jnp.isfinite(lv) & (lv < best_val)
+        return (jnp.where(better, lv, best_val),
+                jnp.where(better, lt, best_train),
+                jax.tree.map(lambda b, x: jnp.where(better, x, b),
+                             best_params, p))
+
+    best_val = jnp.asarray(jnp.inf, jnp.float32)
+    best_train = jnp.asarray(jnp.inf, jnp.float32)
+    # copy: the train step donates its params buffer, so aliasing the
+    # initial params here would hand fold_best a deleted array
+    best_params = jax.tree.map(jnp.copy, params)
     # device scalars accumulated and flushed in bulk: on the tunneled TPU
     # a float() per epoch is a full host round-trip that serialises the
     # pipeline (same discipline as cases/base.py's batched metric flush)
@@ -164,6 +180,9 @@ def run_case_dp(
         losses = eval_fn(params, u0_all, ys_all, mask_all)[:n_exp]
         lt = jnp.mean(losses[:n_train])
         lv = jnp.mean(losses[n_train:]) if n_exp > n_train else lt
+        best_val, best_train, best_params = fold_best(
+            best_val, best_train, best_params,
+            lv.astype(jnp.float32), lt.astype(jnp.float32), params)
         pending.append((lt, lv, gnorm))
         if log_every and (e + 1) % log_every == 0:
             flush()
@@ -188,5 +207,23 @@ def run_case_dp(
     state = TrainState(params, opt_state,
                        jnp.asarray(epoch0 + n_epoch, jnp.int32), state.key)
     save_checkpoint(ckpt_path, state)
+    n_skipped = int(np.sum(~np.isfinite(np.asarray(history["loss_train"]))))
+    if n_skipped:
+        print(f"[{setup.name}] WARNING: {n_skipped} dp epochs produced "
+              f"non-finite loss; their updates were discarded", flush=True)
+    bv = float(jax.device_get(best_val))
+    if np.isfinite(bv):
+        bp = jax.device_get(best_params)
+        if hasattr(bp, "shape"):
+            np.save(os.path.join(run_dir, "p_opt.npy"), np.asarray(bp))
+        else:
+            leaves, _ = jax.tree.flatten(bp)
+            np.savez(os.path.join(run_dir, "p_opt.npz"),
+                     *[np.asarray(x) for x in leaves])
+        print(f"[{setup.name}] best val {bv:.4e} "
+              f"(train {float(jax.device_get(best_train)):.4e}) -> p_opt",
+              flush=True)
+    history["best_val"] = bv
+    history["n_skipped"] = n_skipped
     logger.close()
     return state, history

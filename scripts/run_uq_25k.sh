@@ -14,12 +14,15 @@ OUT="runs/cathode_uq_25k"
 # (11h, unrunnable in-round) vs ~0.4 s/iter for Rosenbrock23 at matched
 # likelihood; the TRBDF2-vs-Rosenbrock23 posterior consistency check is
 # recorded in runs/cathode_uq/posterior_summary.md (round 2).
-# --chunk 100: fuse 100 iterations per dispatch — the tunneled TPU pays
+# --chunk 10: fuse 10 iterations per dispatch — the tunneled TPU pays
 # ~1 s dispatch latency per host round-trip, which dominated the unfused
-# loop at this scale.
+# loop at this scale. NOT --chunk 100: the tunneled worker reproducibly
+# crashes on single device programs of ~40 s device time (3/3 attempts,
+# round 3); ~10 s programs run fine. --resume: restart from the periodic
+# snapshot after any crash/kill (snapshots every 2500 iters).
 python -m crnn_tpu.cases.cathode_uq \
   --iters "$ITERS" --particles 100 \
-  --solver rosenbrock23 --chunk 100 \
+  --solver rosenbrock23 --chunk 10 --resume \
   --data-dir /root/reference/Cathode_NCM333_UQ/exp_data \
   --p-opt runs/cathode/real-4s8r-01/p_opt.npy \
   --decay-epochs 500 \
