@@ -54,7 +54,10 @@ def main():
     ap.add_argument("--val", default="runs/case1_rev/val_best_nr4_r16.npy")
     ap.add_argument("--top", type=int, default=1,
                     help="project + retrain the top-K restarts (serial)")
-    ap.add_argument("--stages", default="1e-3:2000,3e-4:2000")
+    # low lr: the truth-init control showed lr 1e-3 Adam LEAVES the (narrow)
+    # truth basin — val 4.15e-3 -> 1.3e-2 in 2k epochs — so a projection
+    # landing near truth must be polished gently
+    ap.add_argument("--stages", default="3e-4:1500,1e-4:1500")
     ap.add_argument("--out", default="runs/case1_rev")
     args = ap.parse_args()
 
