@@ -43,6 +43,24 @@ class CaseSetup:
     extras: dict = field(default_factory=dict)
 
 
+def _save_best(run_dir: str, name: str, best_host, quiet: bool = False):
+    """Persist the best-val params snapshot (called at every checkpoint so
+    a killed long run keeps its best, and again at the end)."""
+    if not float(best_host.loss_val) < float("inf"):
+        return
+    if hasattr(best_host.params, "shape"):  # flat parameter vector
+        np.save(os.path.join(run_dir, "p_opt.npy"),
+                np.asarray(best_host.params))
+    else:  # pytree (e.g. hybrid MLP params): flat-leaf npz
+        leaves, _ = jax.tree.flatten(best_host.params)
+        np.savez(os.path.join(run_dir, "p_opt.npz"),
+                 *[np.asarray(x) for x in leaves])
+    if not quiet:
+        print(f"[{name}] best val {float(best_host.loss_val):.4e} "
+              f"(train {float(best_host.loss_train):.4e}) -> p_opt",
+              flush=True)
+
+
 def run_case(
     setup: CaseSetup,
     n_epoch: int,
@@ -139,6 +157,8 @@ def run_case(
             )
             plot_loss_curves(history, os.path.join(fig_dir, "loss.png"))
             save_checkpoint(ckpt_path, state)
+            _save_best(run_dir, setup.name, jax.device_get(best),
+                       quiet=True)
 
     wall = time.time() - t_start
     print(f"[{setup.name}] {n_epoch} epochs in {wall:.1f}s "
@@ -149,17 +169,7 @@ def run_case(
     if n_skipped:
         print(f"[{setup.name}] WARNING: {n_skipped} epochs produced "
               f"non-finite loss/grad; their updates were discarded", flush=True)
-    if float(best_host.loss_val) < float("inf"):
-        if hasattr(best_host.params, "shape"):  # flat parameter vector
-            np.save(os.path.join(run_dir, "p_opt.npy"),
-                    np.asarray(best_host.params))
-        else:  # pytree (e.g. hybrid MLP params): flat-leaf npz
-            leaves, _ = jax.tree.flatten(best_host.params)
-            np.savez(os.path.join(run_dir, "p_opt.npz"),
-                     *[np.asarray(x) for x in leaves])
-        print(f"[{setup.name}] best val {float(best_host.loss_val):.4e} "
-              f"(train {float(best_host.loss_train):.4e}) -> p_opt",
-              flush=True)
+    _save_best(run_dir, setup.name, best_host)
     history["best_val"] = float(best_host.loss_val)
     history["best_train"] = float(best_host.loss_train)
     history["n_skipped"] = n_skipped
