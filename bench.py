@@ -46,7 +46,7 @@ import subprocess
 import sys
 import time
 
-PROBE_TIMEOUT_S = 75
+PROBE_TIMEOUT_S = 110  # cold tunnel init + tiny remote compile can take >60s
 PROBE_RETRIES = 3
 PROBE_BACKOFF_S = (20, 60)
 

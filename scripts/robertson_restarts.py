@@ -31,7 +31,11 @@ import numpy as np
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--restarts", type=int, default=16)
-    ap.add_argument("--stages", default="5e-3:4000,1e-3:4000,3e-4:4000")
+    # final 1e-4 stage: the case1_rev truth-init control showed Adam step
+    # noise at lr >= 1e-3 can eject iterates from narrow good basins —
+    # polish gently before judging a basin's depth
+    ap.add_argument("--stages",
+                    default="5e-3:4000,1e-3:4000,3e-4:3000,1e-4:3000")
     ap.add_argument("--base-seed", type=int, default=11)
     ap.add_argument("--lm-top", type=int, default=3)
     ap.add_argument("--lm-iters", type=int, default=150)
