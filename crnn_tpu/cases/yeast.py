@@ -166,6 +166,11 @@ if __name__ == "__main__":
     ap.add_argument("--out", default="runs")
     ap.add_argument("--lr0", type=float, default=None)
     ap.add_argument("--lr-decay-epochs", type=int, default=None)
+    ap.add_argument("--max-steps", type=int, default=None,
+                    help="adaptive-solver step budget per solve (the learned "
+                         "RHS can be stiffer than the truth mid-training; "
+                         "384 exhausts at t~3.8 of 5.0 and zero-fills the "
+                         "tail, poisoning full-horizon loss/gradients)")
     ap.add_argument("--dp", type=int, default=0,
                     help="data-parallel over N devices (-1 = all)")
     args = ap.parse_args()
@@ -174,6 +179,8 @@ if __name__ == "__main__":
         cfg.lr0 = args.lr0
     if args.lr_decay_epochs is not None:
         cfg.lr_decay_epochs = args.lr_decay_epochs
+    if args.max_steps is not None:
+        cfg.max_steps = args.max_steps
     setup = build(cfg)
     run_case(setup, n_epoch=args.epochs, out_dir=args.out,
              restart=args.restart, dp=args.dp)
