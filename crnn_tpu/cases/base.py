@@ -101,6 +101,9 @@ def run_case(
 
     logger = MetricsLogger(os.path.join(run_dir, "metrics.jsonl"),
                            print_every=0)
+    # metrics carry ABSOLUTE epoch numbers so restarted runs append a
+    # continuous series instead of restarting at 0
+    epoch0 = int(state.epoch)
     # guarded step: on-device best-val params (callback.jl:122-126) + NaN
     # divergence guard (a non-finite epoch's update is discarded)
     step = trainer.guarded_epoch_fn()
@@ -139,10 +142,10 @@ def run_case(
         state, best, m = step(state, best)
         pending.append(m)
         if (e + 1) % flush_every == 0:
-            _flush(e + 1)
+            _flush(epoch0 + e + 1)
 
         if (e + 1) % n_plot == 0 or e == n_epoch - 1:
-            _flush(e + 1)
+            _flush(epoch0 + e + 1)
             display_weights(setup.weights_fn(state.params), setup.dydt_scale)
             print(f"[{setup.name}] epoch {int(state.epoch)} "
                   f"min loss train {np.min(history['loss_train']):.4e} "
