@@ -40,6 +40,9 @@ def main():
     ap.add_argument("--lm-top", type=int, default=3)
     ap.add_argument("--lm-iters", type=int, default=150)
     ap.add_argument("--out", default="runs/robertson_long")
+    ap.add_argument("--lm-only", action="store_true",
+                    help="skip the Adam stages; load the snapshotted "
+                         "best_p/best_val and run only the LM polish")
     args = ap.parse_args()
 
     import jax
@@ -88,6 +91,11 @@ def main():
         np.save(os.path.join(args.out, f"restart_p_{tag}.npy"), best_p)
         np.save(os.path.join(args.out, f"restart_val_{tag}.npy"), best_val)
 
+    if args.lm_only:
+        best_p = np.load(os.path.join(args.out, f"restart_p_{tag}.npy"))
+        best_val = np.load(os.path.join(args.out, f"restart_val_{tag}.npy"))
+        stages = []
+
     for lr, n_epochs in stages:
         opt = optax.chain(optax.clip_by_global_norm(cfg.grad_max),
                           optax.adamw(lr, weight_decay=cfg.weight_decay))
@@ -130,11 +138,11 @@ def main():
         p_in = jnp.asarray(best_p[r])
         a25_before = float(all25_j(p_in))
         try:
-            p_lm = run_lm_finish(setup, p_in, max_iters=args.lm_iters)
+            p_lm, _ = run_lm_finish(setup, p_in, max_iters=args.lm_iters)
             a25_after = float(all25_j(jnp.asarray(p_lm)))
         except Exception as e:
-            print(f"LM polish failed on restart {r}: {type(e).__name__}",
-                  flush=True)
+            print(f"LM polish failed on restart {r}: "
+                  f"{type(e).__name__}: {e}", flush=True)
             p_lm, a25_after = p_in, a25_before
         pick = p_lm if a25_after <= a25_before else p_in
         a25 = min(a25_after, a25_before)
