@@ -43,6 +43,13 @@ def main():
     ap.add_argument("--lm-only", action="store_true",
                     help="skip the Adam stages; load the snapshotted "
                          "best_p/best_val and run only the LM polish")
+    # sparsity-seeded hunt: the seed-11 sweep + pruning diagnosis showed
+    # random init lands in DENSE basins structurally unlike the published
+    # sparse mechanism — L1 on the active reaction orders (w_in slice;
+    # w_out = -w_in * 10^raw ties output sparsity to it) biases the
+    # search toward sparse basins during training, not post-hoc
+    ap.add_argument("--l1", type=float, default=0.0,
+                    help="L1 on active reaction orders (train loss only)")
     args = ap.parse_args()
 
     import jax
@@ -67,8 +74,13 @@ def main():
         return jnp.mean(jax.vmap(lambda i: loss_i(p, i, mask_all))(
             jnp.arange(lo, hi)))
 
+    i0, i1 = cfg.nr * (cfg.ns + 1), cfg.nr * (2 * cfg.ns + 1)
+
     def data_loss(p):
-        return mean_loss(p, 0, cfg.n_exp_train)
+        base = mean_loss(p, 0, cfg.n_exp_train)
+        if args.l1 > 0:
+            base = base + args.l1 * jnp.sum(jax.nn.relu(p[i0:i1]))
+        return base
 
     def val_loss(p):
         return mean_loss(p, cfg.n_exp_train, cfg.n_exp)
@@ -86,6 +98,8 @@ def main():
     best_p = np.array(ps)
     os.makedirs(args.out, exist_ok=True)
     tag = f"r{R}_seed{args.base_seed}"
+    if args.l1 > 0:
+        tag += f"_l1_{args.l1:g}"
 
     def snapshot():
         np.save(os.path.join(args.out, f"restart_p_{tag}.npy"), best_p)
@@ -155,8 +169,10 @@ def main():
     np.save(os.path.join(args.out, f"p_independent_{tag}.npy"), champion[1])
     md = os.path.join(args.out, f"independent_hunt_{tag}.md")
     with open(md, "w") as f:
+        l1_note = (f", L1(w_in) {args.l1:g} on train loss"
+                   if args.l1 > 0 else "")
         f.write(f"# Independent Robertson basin hunt ({R} restarts, "
-                f"stages {args.stages}, seed {args.base_seed})\n\n")
+                f"stages {args.stages}, seed {args.base_seed}{l1_note})\n\n")
         f.write("No warm start: every restart drawn from the reference's "
                 "own init distribution (rober_crnn.jl:37-39).\n\n")
         f.write("| restart | best val | all-25 pre-LM | all-25 post-LM |\n")
