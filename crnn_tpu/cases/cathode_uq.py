@@ -410,6 +410,9 @@ if __name__ == "__main__":
     ap.add_argument("--resume", action="store_true",
                     help="resume from the periodic snapshot in <out>/"
                          "cathode_uq/ if present (crash recovery)")
+    ap.add_argument("--checkpoint-every", type=int, default=2500,
+                    help="snapshot cadence in iterations; a kill between "
+                         "snapshots loses at most this many iterations")
     args = ap.parse_args()
     cfg = CathodeUQConfig(n_iters=args.iters, num_particles=args.particles,
                           data_dir=args.data_dir, solver=args.solver,
@@ -421,6 +424,7 @@ if __name__ == "__main__":
     particles, info = run_uq(
         cfg, p_opt=p_opt,
         checkpoint_dir=os.path.join(args.out, "cathode_uq"),
+        checkpoint_every=args.checkpoint_every,
         chunk=args.chunk, resume=args.resume)
 
     from crnn_tpu.uq.posterior import (

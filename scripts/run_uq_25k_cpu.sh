@@ -26,7 +26,7 @@ env -u PYTHONPATH JAX_PLATFORMS=cpu CRNN_TPU_PLATFORM=cpu python -m crnn_tpu.cas
   --solver rosenbrock23 --chunk 10 --resume \
   --data-dir /root/reference/Cathode_NCM333_UQ/exp_data \
   --p-opt runs/cathode/real-4s8r-01/p_opt.npy \
-  --decay-epochs 500 \
+  --decay-epochs 500 --checkpoint-every 1000 \
   --out "$OUT" &
 UQ_PID=$!
 echo "$UQ_PID" > /tmp/uq25k_cpu.pid
