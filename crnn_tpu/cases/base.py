@@ -108,6 +108,14 @@ def run_case(
     # divergence guard (a non-finite epoch's update is discarded)
     step = trainer.guarded_epoch_fn()
     best = trainer.init_best(state)
+    # best-val carry survives restarts: without this, a continuation
+    # segment that never beats the previous segment would overwrite
+    # p_opt.npy with its own (worse) best at run end
+    best_ckpt_path = os.path.join(run_dir, "best.msgpack")
+    if restart and os.path.exists(best_ckpt_path):
+        best = load_checkpoint(best_ckpt_path, jax.device_get(best))
+        print(f"[{setup.name}] best-val carry restored "
+              f"(val {float(best.loss_val):.4e})")
     t_start = time.time()
 
     # Per-epoch host syncs would serialise the device pipeline; metrics are
@@ -160,6 +168,7 @@ def run_case(
             )
             plot_loss_curves(history, os.path.join(fig_dir, "loss.png"))
             save_checkpoint(ckpt_path, state)
+            save_checkpoint(best_ckpt_path, best)
             _save_best(run_dir, setup.name, jax.device_get(best),
                        quiet=True)
 
@@ -167,6 +176,7 @@ def run_case(
     print(f"[{setup.name}] {n_epoch} epochs in {wall:.1f}s "
           f"({wall / max(n_epoch, 1) * 1e3:.1f} ms/epoch)", flush=True)
     save_checkpoint(ckpt_path, state)
+    save_checkpoint(best_ckpt_path, best)
     best_host = jax.device_get(best)
     n_skipped = int(best_host.n_skipped)
     if n_skipped:

@@ -31,7 +31,7 @@ from jax.sharding import NamedSharding, PartitionSpec as P
 
 from crnn_tpu.parallel.dp import make_dp_eval, make_dp_train_step
 from crnn_tpu.parallel.mesh import make_mesh
-from crnn_tpu.train.loop import TrainState
+from crnn_tpu.train.loop import BestState, TrainState
 from crnn_tpu.train.loss import prefix_mask
 
 
@@ -158,6 +158,23 @@ def run_case_dp(
     # copy: the train step donates its params buffer, so aliasing the
     # initial params here would hand fold_best a deleted array
     best_params = jax.tree.map(jnp.copy, params)
+    # best-val carry survives restarts (same policy + file as cases/base.py:
+    # a worse continuation segment must not overwrite a better p_opt)
+    best_ckpt_path = os.path.join(run_dir, "best.msgpack")
+    if restart and os.path.exists(best_ckpt_path):
+        b = load_checkpoint(best_ckpt_path, jax.device_get(BestState(
+            params=best_params, loss_val=best_val, loss_train=best_train,
+            n_skipped=jnp.asarray(0, jnp.int32))))
+        best_params = jax.tree.map(jnp.asarray, b.params)
+        best_val = jnp.asarray(b.loss_val)
+        best_train = jnp.asarray(b.loss_train)
+        print(f"[{setup.name}] best-val carry restored "
+              f"(val {float(best_val):.4e})")
+
+    def _save_best_carry():
+        save_checkpoint(best_ckpt_path, BestState(
+            params=best_params, loss_val=best_val, loss_train=best_train,
+            n_skipped=jnp.asarray(0, jnp.int32)))
     # device scalars accumulated and flushed in bulk: on the tunneled TPU
     # a float() per epoch is a full host round-trip that serialises the
     # pipeline (same discipline as cases/base.py's batched metric flush)
@@ -199,6 +216,7 @@ def run_case_dp(
             state = TrainState(params, opt_state,
                                jnp.asarray(e + 1, jnp.int32), state.key)
             save_checkpoint(ckpt_path, state)
+            _save_best_carry()
     flush()
 
     wall = time.time() - t_start
@@ -207,6 +225,7 @@ def run_case_dp(
     state = TrainState(params, opt_state,
                        jnp.asarray(epoch0 + n_epoch, jnp.int32), state.key)
     save_checkpoint(ckpt_path, state)
+    _save_best_carry()
     n_skipped = int(np.sum(~np.isfinite(np.asarray(history["loss_train"]))))
     if n_skipped:
         print(f"[{setup.name}] WARNING: {n_skipped} dp epochs produced "

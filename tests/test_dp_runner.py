@@ -120,3 +120,24 @@ def test_svgd_dp_rejects_indivisible_particles():
 
     with pytest.raises(ValueError, match="divide"):
         build_uq(CathodeUQConfig(num_particles=10, dp=4, maxiters=64))
+
+
+def test_run_case_dp_restart_preserves_best(tmp_path):
+    """dp restart carry: a worse continuation segment (huge lr) must not
+    overwrite the previous segment's best p_opt (mirrors the single-device
+    test in test_guard.py)."""
+    from crnn_tpu.cases.base import run_case
+    from crnn_tpu.cases.case1 import Case1Config, build
+
+    cfg = dict(n_exp_train=4, n_exp_test=2, datasize=8, max_steps=64)
+    _, h1 = run_case(build(Case1Config(lr=1e-3, **cfg)), n_epoch=3,
+                     out_dir=str(tmp_path), dp=2, log_every=0, n_plot=10)
+    p1 = np.load(tmp_path / "case1" / "p_opt.npy").copy()
+
+    _, h2 = run_case(build(Case1Config(lr=50.0, **cfg)), n_epoch=3,
+                     out_dir=str(tmp_path), dp=2, log_every=0, n_plot=10,
+                     restart=True)
+    assert h2["best_val"] <= h1["best_val"] + 1e-12
+    if h2["best_val"] == pytest.approx(h1["best_val"]):
+        np.testing.assert_allclose(
+            np.load(tmp_path / "case1" / "p_opt.npy"), p1)

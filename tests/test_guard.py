@@ -127,3 +127,47 @@ def test_run_case_survives_engineered_blowup(tmp_path):
     assert history["n_skipped"] >= 1
     assert history["best_val"] == pytest.approx(65.61)
     assert (tmp_path / "guard_blowup" / "p_opt.npy").exists()
+
+
+def test_restart_preserves_best_across_segments(tmp_path):
+    """A continuation segment that only gets WORSE must not overwrite the
+    previous segment's best (p_opt.npy) — the best-val carry is persisted
+    in best.msgpack and restored on --restart."""
+    from crnn_tpu.cases.base import CaseSetup, run_case
+    from crnn_tpu.models.crnn import CRNNWeights
+    import numpy as np
+
+    def loss_i(params, i_exp, mask):
+        return (params[0] - 1.0) ** 2
+
+    class _DS:
+        ys = jnp.zeros((2, 4, 1))
+        u0 = jnp.zeros((2, 1))
+        ts = jnp.linspace(0, 1, 4)
+
+    w = CRNNWeights(w_in=jnp.zeros((1, 1)), w_b=jnp.zeros((1,)),
+                    w_out=jnp.zeros((1, 1)))
+
+    def make_setup(lr):
+        return CaseSetup(
+            name="restart_best",
+            trainer=_make_trainer(loss_i, lr=lr, n_exp=2, n_train=1),
+            init_params=jnp.zeros((1,)),
+            predict=lambda p, i: jnp.zeros((4, 1)),
+            weights_fn=lambda p: w,
+            dataset=_DS(),
+        )
+
+    # segment 1: lr 0.5 converges p0 -> 1 fast (best val ~ 0)
+    _, h1 = run_case(make_setup(0.5), n_epoch=5, out_dir=str(tmp_path),
+                     n_plot=100, log_every=0)
+    p_opt_1 = np.load(tmp_path / "restart_best" / "p_opt.npy").copy()
+
+    # segment 2: lr 2.5 makes SGD diverge (|p0-1| quadruples per step),
+    # so this segment's own best is strictly worse than segment 1's
+    _, h2 = run_case(make_setup(2.5), n_epoch=5, out_dir=str(tmp_path),
+                     n_plot=100, log_every=0, restart=True)
+
+    assert h2["best_val"] == pytest.approx(h1["best_val"])
+    p_opt_2 = np.load(tmp_path / "restart_best" / "p_opt.npy")
+    np.testing.assert_allclose(p_opt_2, p_opt_1)
