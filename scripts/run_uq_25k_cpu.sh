@@ -26,8 +26,12 @@ env -u PYTHONPATH JAX_PLATFORMS=cpu CRNN_TPU_PLATFORM=cpu python -m crnn_tpu.cas
   --solver rosenbrock23 --chunk 10 --resume \
   --data-dir /root/reference/Cathode_NCM333_UQ/exp_data \
   --p-opt runs/cathode/real-4s8r-01/p_opt.npy \
-  --decay-epochs 500 --checkpoint-every 1000 \
+  --decay-epochs 500 --checkpoint-every 1000 --maxiters 256 \
   --out "$OUT" &
+# --maxiters 256: the loss solve is a FIXED-length scan (unroll="scan"),
+# so the default 512-step budget pays 2.4x the ~217 adaptive steps the
+# real-data curves need; 256 is documented maxiters-converged
+# (cathode_uq.py --maxiters help) and halves the per-iteration cost.
 UQ_PID=$!
 echo "$UQ_PID" > /tmp/uq25k_cpu.pid
 
