@@ -2,12 +2,17 @@
 (round-2 verdict item 8): compare an extended-iteration run against the
 round-2 6k-iteration run.
 
-The extended run continues from the 6k ensemble under the reference's
-annealing cadence (0.95/500); if the posterior is iteration-converged at
-6k, per-parameter moments and the correlation structure should agree.
-Writes convergence.md into the new run's directory.
+If the posterior is iteration-converged, per-parameter moments and the
+correlation structure should agree between the two runs. Writes
+convergence.md into the new run's directory.
 
-Usage: python scripts/uq_compare.py [new_run_dir] [old_run_dir]
+The third argument states how the two runs are related (continuation vs
+independent chain) and is quoted verbatim in the report header — the
+round-4 25k run is a FRESH chain warm-started from the deterministic
+optimum (reference protocol, UQ network.jl:11-46), not a continuation,
+and agreement between independent chains is the stronger check.
+
+Usage: python scripts/uq_compare.py [new_run_dir] [old_run_dir] [relation]
 """
 import os
 import sys
@@ -30,7 +35,16 @@ def kendall_tau_matrix(x):
     return (sp[:, :, None] * sp[:, None, :]).sum(0) / denom
 
 
-def main(new_dir="runs/cathode_uq_25k/cathode_uq", old_dir="runs/cathode_uq"):
+DEFAULT_RELATION = (
+    "The extended run CONTINUES from the 6k run's final ensemble under "
+    "the reference's annealing cadence (0.95/500, UQ config.yaml:27-33), "
+    "so the comparison below measures how much the posterior moves when "
+    "the iteration budget is extended — the stability question the "
+    "round-2 verdict asked (item 8).")
+
+
+def main(new_dir="runs/cathode_uq_25k/cathode_uq", old_dir="runs/cathode_uq",
+         relation=DEFAULT_RELATION):
     pn = np.load(os.path.join(new_dir, "particles.npy"))
     po = np.load(os.path.join(old_dir, "particles.npy"))
     d = pn.shape[1]
@@ -46,15 +60,10 @@ def main(new_dir="runs/cathode_uq_25k/cathode_uq", old_dir="runs/cathode_uq"):
     tau_corr = np.corrcoef(tn[iu], to[iu])[0, 1]
 
     lines = [
-        "# Posterior iteration-count convergence (extended vs 6k "
-        "iterations)\n",
-        f"Extended run: `{new_dir}` ({pn.shape[0]} particles); "
-        f"round-2 6k run: `{old_dir}` ({po.shape[0]} particles). The "
-        "extended run CONTINUES from the 6k run's final ensemble under "
-        "the reference's annealing cadence (0.95/500, UQ "
-        "config.yaml:27-33), so the comparison below measures how much "
-        "the posterior moves when the iteration budget is extended — "
-        "the stability question the round-2 verdict asked (item 8).\n",
+        "# Posterior iteration-count convergence\n",
+        f"New run: `{new_dir}` ({pn.shape[0]} particles); "
+        f"comparison run: `{old_dir}` ({po.shape[0]} particles). "
+        f"{relation}\n",
         "| param | mean 6k | mean ext | rel d-mean | std 6k | std ext | "
         "rel d-std |",
         "|---|---|---|---|---|---|---|",
@@ -77,4 +86,4 @@ def main(new_dir="runs/cathode_uq_25k/cathode_uq", old_dir="runs/cathode_uq"):
 
 
 if __name__ == "__main__":
-    main(*sys.argv[1:3])
+    main(*sys.argv[1:4])
