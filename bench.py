@@ -117,24 +117,54 @@ def _time_epoch(setup, n_iters=30, warmup=1):
     return (time.perf_counter() - t0) / n_iters * 1e3
 
 
+def _live_manifest_jobs() -> list:
+    """Live pids from runs/JOBS.manifest (scripts/manifest_run.sh).
+
+    Round 4's capture overlapped a 25k UQ job; every long job now registers
+    here with a hard cutoff, and bench flags (in the artifact itself) any
+    job still alive at measurement time so a contended number can never
+    masquerade as a clean one.
+    """
+    jobs = []
+    try:
+        with open(os.path.join(os.path.dirname(__file__) or ".",
+                               "runs", "JOBS.manifest")) as fh:
+            for line in fh:
+                parts = line.split()
+                if len(parts) >= 3 and os.path.exists(f"/proc/{parts[0]}"):
+                    jobs.append({"pid": int(parts[0]), "cutoff": int(parts[1]),
+                                 "tag": parts[2]})
+    except FileNotFoundError:
+        pass
+    return jobs
+
+
 def main() -> None:
+    contended = _live_manifest_jobs()
+    if contended:
+        _emit("contention", {"live_jobs": contended,
+                             "warning": "chip/host shared with live jobs; "
+                                        "timings may be contended"})
+
     platform = _probe_backend()
 
     import jax
     import jax.numpy as jnp
 
     from crnn_tpu.cases.case2 import Case2Config, build
+    from crnn_tpu.infra.runtime import x64_scope
 
     out = {"platform": platform}
+    if contended:
+        out["contended_jobs"] = [j["tag"] for j in contended]
 
     # --- headline FIRST: shipped default case2 epoch ----------------------
+    # (the partial carries the raw value only; the ONE ratio story — same-run
+    # serial_dispatch / batched — is computed in the final combined line)
     setup = build(Case2Config())
     batched_ms = _time_epoch(setup, n_iters=30)
-    # Emit the headline immediately, with vs_baseline against the round-2
-    # driver-captured serial-dispatch number (417.42 ms, BENCH_r02.json);
-    # refined to the same-run serial measurement in the final line below.
-    _emit("headline", {"metric": "case2_batched_epoch", "value": round(batched_ms, 3),
-                       "unit": "ms", "vs_baseline_r2_serial": round(417.42 / batched_ms, 2)})
+    _emit("headline", {"metric": "case2_batched_epoch",
+                       "value": round(batched_ms, 3), "unit": "ms"})
 
     def _metric(name: str, fn) -> None:
         try:
@@ -153,24 +183,32 @@ def main() -> None:
     _metric("case3_ms", lambda: round(
         _time_epoch(build_c3(Case3Config()), n_iters=10), 3))
 
-    from crnn_tpu.cases.robertson import RobertsonConfig
-    from crnn_tpu.cases.robertson import build as build_rob
+    # f64 regimes: their builds flip the global x64 flag (their training is
+    # genuinely double precision) — scope the flip so every metric after
+    # these runs in the same f32 regime as the headline (round-4 leak:
+    # BENCH_r04 eval_fused_error + fwd_ms measured under x64).
+    def _robertson():
+        from crnn_tpu.cases.robertson import RobertsonConfig
+        from crnn_tpu.cases.robertson import build as build_rob
 
-    _metric("robertson_ms", lambda: round(
-        _time_epoch(build_rob(RobertsonConfig()), n_iters=10), 3))
+        with x64_scope():
+            return round(_time_epoch(build_rob(RobertsonConfig()), n_iters=10), 3)
+
+    _metric("robertson_ms", _robertson)
 
     def _svgd():
         from crnn_tpu.cases.cathode_uq import CathodeUQConfig, build_uq
 
-        particles, svgd_step, _ = build_uq(CathodeUQConfig())
-        i0 = jnp.asarray(0)
-        new_p, _ = svgd_step(particles, i0, 2e-4)
-        new_p.block_until_ready()
-        t0 = time.perf_counter()
-        for _ in range(10):
-            new_p, _ = svgd_step(new_p, i0, 2e-4)
-        new_p.block_until_ready()
-        return round((time.perf_counter() - t0) / 10 * 1e3, 3)
+        with x64_scope():
+            particles, svgd_step, _ = build_uq(CathodeUQConfig())
+            i0 = jnp.asarray(0)
+            new_p, _ = svgd_step(particles, i0, 2e-4)
+            new_p.block_until_ready()
+            t0 = time.perf_counter()
+            for _ in range(10):
+                new_p, _ = svgd_step(new_p, i0, 2e-4)
+            new_p.block_until_ready()
+            return round((time.perf_counter() - t0) / 10 * 1e3, 3)
 
     _metric("svgd_iter_ms", _svgd)
 
@@ -231,7 +269,11 @@ def main() -> None:
         ds = setup.dataset
         w = p2vec_case2(setup.init_params, cfg.ns, cfg.nr)
         t1 = float(cfg.datasize * cfg.tstep)
-        saveat = jnp.linspace(0.0, t1, cfg.datasize)
+        # dtype pinned to the dataset's (f32): the round-4 artifact died here
+        # because a leaked global-x64 flip made this linspace f64 and fed it
+        # to the f32 Pallas kernel; the x64_scope fixes the cause, the pin
+        # removes the sensitivity
+        saveat = jnp.linspace(0.0, t1, cfg.datasize, dtype=ds.ys.dtype)
         rhs_op, _ = make_arrhenius_ops(cfg.lb, cfg.ub, force="xla")
         factor_op = make_arrhenius_factor_op(cfg.lb, cfg.ub)
 
@@ -248,36 +290,60 @@ def main() -> None:
             cfg.ns, cfg.nr, cfg.lb, cfg.ub, 0.0, t1, saveat, cfg.rtol,
             cfg.atol, cfg.max_steps))
 
+        # N=12 INTERLEAVED A/B rounds (round-3/4 demand): alternating blocks
+        # cancel tunnel drift that back-to-back 50-shot blocks cannot; the
+        # per-round samples ship in the partial so the spread is auditable.
+        variants = (("eval_xla_ms", lambda u: xla_solve(u, w)),
+                    ("eval_fused_ms", lambda u: fused(u, w)[0]))
+        for _, fn in variants:  # compile + warm both before any timing
+            jax.block_until_ready(fn(ds.u0))
+        samples = {name: [] for name, _ in variants}
+        n_pairs, block = 12, 10
+        for _ in range(n_pairs):
+            for name, fn in variants:
+                t0 = time.perf_counter()
+                for _ in range(block):
+                    r = fn(ds.u0)
+                jax.block_until_ready(r)
+                samples[name].append((time.perf_counter() - t0) / block * 1e3)
         pair = {}
-        for name, fn in (("eval_xla_ms", lambda u: xla_solve(u, w)),
-                         ("eval_fused_ms", lambda u: fused(u, w)[0])):
-            r = fn(ds.u0)
-            jax.block_until_ready(r)
-            t0 = time.perf_counter()
-            for _ in range(50):
-                r = fn(ds.u0)
-            jax.block_until_ready(r)
-            pair[name] = round((time.perf_counter() - t0) / 50 * 1e3, 3)
+        for name in samples:
+            xs = sorted(samples[name])
+            pair[name] = round(xs[len(xs) // 2], 3)  # median of 12 rounds
+            pair[name + "_rounds"] = [round(x, 3) for x in samples[name]]
         return pair
 
     if platform == "tpu":
         try:
             pair = _eval_pair()
-            out.update(pair)
+            out["eval_xla_ms"] = pair["eval_xla_ms"]
+            out["eval_fused_ms"] = pair["eval_fused_ms"]
             _emit("eval_pair", pair)
         except Exception as e:  # Pallas path is TPU-toolchain-sensitive
-            out["eval_fused_error"] = f"{type(e).__name__}"
+            # full message, not just the type — BENCH_r04's bare "ValueError"
+            # made the artifact undiagnosable
+            out["eval_fused_error"] = f"{type(e).__name__}: {e}"[:300]
             _emit("eval_pair", {"error": out["eval_fused_error"]})
     else:  # Mosaic kernel is TPU-only; don't record a spurious error
         _emit("eval_pair", {"skipped": f"pallas kernel n/a on {platform}"})
 
-    serial_ms = out.get("serial_dispatch_ms") or 417.42  # r2 driver capture
+    # ONE ratio story: vs_baseline = serial_dispatch / batched, both measured
+    # in THIS run on the same chip; only if the serial measurement crashed do
+    # we fall back to the round-2 driver capture, and the denominator source
+    # is named either way so the artifact cannot misquote itself.
+    if out.get("serial_dispatch_ms"):
+        serial_ms = out["serial_dispatch_ms"]
+        denom_src = "serial_dispatch_ms (same run, same chip)"
+    else:
+        serial_ms = 417.42
+        denom_src = "BENCH_r02 driver-captured serial_dispatch_ms=417.42 (fallback)"
     out.update({
         "metric": "case2 per-epoch wall-clock (batched stiff solve+grad, "
                   "30 exps x 50 steps)",
         "value": round(batched_ms, 3),
         "unit": "ms",
         "vs_baseline": round(serial_ms / batched_ms, 2),
+        "vs_baseline_denominator": denom_src,
         "serial_dispatch_ms": serial_ms,
         "vs_serial_seq": (round(serial_ms / out["sequential_ms"], 2)
                           if out.get("sequential_ms") else None),

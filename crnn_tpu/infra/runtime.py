@@ -3,6 +3,7 @@
 from __future__ import annotations
 
 import os
+from contextlib import contextmanager
 
 import jax
 
@@ -38,4 +39,34 @@ def setup_cache(path: str = None) -> None:
 
 
 def enable_x64() -> None:
+    """Enable float64 PROCESS-GLOBALLY.
+
+    The f64 case builds (robertson/cathode/cathode_uq/hychem/robertson_qssa)
+    call this because their truth generation and training genuinely run in
+    double precision (e.g. rober_crnn.jl:40). The flip is global: everything
+    traced afterwards in the same process sees x64 semantics. A caller that
+    only *borrows* such a case (bench.py, cross-case scripts) must wrap the
+    build-and-use block in :func:`x64_scope` so the flip cannot leak — in
+    round 4 a leaked flip sent f64 inputs into an f32 Pallas kernel
+    (BENCH_r04 ``eval_fused_error``) and silently changed the precision
+    regime of every metric measured after the robertson one.
+    """
     jax.config.update("jax_enable_x64", True)
+
+
+@contextmanager
+def x64_scope(enable: bool = True):
+    """Snapshot/restore ``jax_enable_x64`` around a block.
+
+    Use around any ``build()`` of an f64 case when the surrounding process
+    should stay in its own precision regime. Everything that must run in
+    f64 (tracing AND execution of the case's jitted functions) has to
+    happen inside the ``with`` block.
+    """
+    prev = bool(jax.config.jax_enable_x64)
+    try:
+        if enable:
+            jax.config.update("jax_enable_x64", True)
+        yield
+    finally:
+        jax.config.update("jax_enable_x64", prev)

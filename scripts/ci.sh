@@ -10,7 +10,23 @@
 set -euo pipefail
 cd "$(dirname "$0")/.."
 
+# Refuse to bench while any manifest job is alive (VERDICT r4 item 3): a
+# live trainer on the single-core host / tunneled TPU makes every timing
+# contended garbage. Jobs register via scripts/manifest_run.sh.
+guard_manifest() {
+  [ -f runs/JOBS.manifest ] || return 0
+  while read -r pid cutoff tag; do
+    if [ -n "${pid:-}" ] && [ -e "/proc/$pid" ]; then
+      echo "REFUSING to bench: manifest job '$tag' (pid $pid) is alive" \
+           "(cutoff $(date -u -d "@$cutoff" +%H:%M:%SZ 2>/dev/null || echo "$cutoff"))." >&2
+      echo "Wait for it, or kill \$pid and retry." >&2
+      return 1
+    fi
+  done < runs/JOBS.manifest
+}
+
 if [[ "${1:-}" == "--bench-only" ]]; then
+  guard_manifest || exit 2
   for attempt in 1 2 3; do
     echo "== bench (attempt $attempt) =="
     if python bench.py; then exit 0; fi
@@ -32,4 +48,5 @@ __graft_entry__.dryrun_multichip(8)
 EOF
 
 echo "== bench =="
+guard_manifest || exit 2
 python bench.py

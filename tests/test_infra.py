@@ -217,3 +217,33 @@ def test_dp_eval_on_virtual_mesh():
     got = eval_fn(p, u0, ys, mask)
     want = jax.vmap(lambda a, b, c: loss_on_data(p, a, b, c))(u0, ys, mask)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-6)
+
+
+def test_x64_scope_restores_flag():
+    """x64_scope must snapshot/restore jax_enable_x64 (BENCH_r04 leak).
+
+    The f64 case builds flip the global flag; a borrower wrapping them in
+    x64_scope must come back to its own regime even if the body raises.
+    """
+    import jax
+
+    from crnn_tpu.infra.runtime import x64_scope
+
+    prev = bool(jax.config.jax_enable_x64)
+    try:
+        jax.config.update("jax_enable_x64", False)
+        with x64_scope():
+            assert bool(jax.config.jax_enable_x64) is True
+            assert jax.numpy.linspace(0.0, 1.0, 3).dtype == jax.numpy.float64
+        assert bool(jax.config.jax_enable_x64) is False
+        assert jax.numpy.linspace(0.0, 1.0, 3).dtype == jax.numpy.float32
+
+        # restore-on-raise
+        try:
+            with x64_scope():
+                raise RuntimeError("boom")
+        except RuntimeError:
+            pass
+        assert bool(jax.config.jax_enable_x64) is False
+    finally:
+        jax.config.update("jax_enable_x64", prev)
