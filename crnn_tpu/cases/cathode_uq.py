@@ -45,7 +45,18 @@ class CathodeUQConfig:
     lb: float = 1e-8
     maxiters: int = 512
     rtol: float = 1e-4
-    solver: str = "trbdf2"
+    # rosenbrock23 default (round 5): the TRBDF2-vs-Rosenbrock23 posterior
+    # consistency check is in runs/cathode_uq/posterior_summary.md (round 2)
+    # and the batch-major-vs-per-lane check in runs/cathode_uq/batch_major_
+    # consistency.md; TRBDF2 stays available via --solver trbdf2.
+    solver: str = "rosenbrock23"
+    # batch-major likelihood (round 5): ALL particles integrate as one
+    # fused batch per solver step (ode/batch_solve.py nonautonomous mode,
+    # analytic bidiagonal Jacobian + df/dt) instead of vmap over per-lane
+    # drivers — the TPU-shaped replacement for the reference's serial
+    # particle loop (UQ network.jl:227). Only takes effect with
+    # solver == "rosenbrock23" (the batch driver IS a Rosenbrock23).
+    batch_major: bool = True
     val_index: int = 3
     seed: int = 0
     data_dir: Optional[str] = None
@@ -160,6 +171,45 @@ def build_uq(cfg: CathodeUQConfig = CathodeUQConfig(),
         err = (pred[:, None] - reps[i_exp]) ** 2 * masks[i_exp][:, None]
         return jnp.sum(err) / n_rep / jnp.sum(masks[i_exp])
 
+    use_batch_major = cfg.batch_major and cfg.solver == "rosenbrock23"
+    if use_batch_major:
+        from crnn_tpu.models.crnn import make_cathode_rhs_batch
+        from crnn_tpu.ode.batch_solve import batch_odesolve_rb23
+
+        f_b, f_jac_b = make_cathode_rhs_batch(cfg.lb)
+        hrr_batch = jax.vmap(cathode_hrr, in_axes=(None, 0, 0, None, None))
+
+        def loss_batch(p_norms, i_exp):
+            """(B, 17) particles -> (B,) losses via ONE fused ensemble solve."""
+            w_b = jax.vmap(p2vec_cathode)(jax.vmap(denormalise)(p_norms))
+            t_row = ts[i_exp]
+            u0b = jnp.broadcast_to(u0, (p_norms.shape[0], 3))
+            sol = batch_odesolve_rb23(
+                f_b, f_jac_b, u0b, t_row[0], t_row[-1], t_row,
+                args=(w_b, betas[i_exp]), rtol=cfg.rtol, atol=cfg.lb,
+                max_steps=cfg.maxiters, unroll="scan", nonautonomous=True)
+            ys = jnp.clip(sol.ys, 0.0, 10.0)                 # (B, n_t, 3)
+            pred = hrr_batch(t_row, ys, w_b, betas[i_exp], cfg.lb)
+            err = ((pred[:, :, None] - reps[i_exp][None]) ** 2
+                   * masks[i_exp][None, :, None])
+            return jnp.sum(err, axis=(1, 2)) / n_rep / jnp.sum(masks[i_exp])
+
+        def _loss_sum(p_norms, i_exp):
+            losses = loss_batch(p_norms, i_exp)
+            return jnp.sum(losses), losses
+
+        def grad_all(p_norms, i_exp):
+            # lanes are independent, so grad of the SUM is the per-particle
+            # gradient stack — one reverse pass for the whole ensemble
+            (_, losses), grads = jax.value_and_grad(
+                _loss_sum, has_aux=True)(p_norms, i_exp)
+            return losses, grads
+
+        loss_all_fn = loss_batch
+    else:
+        grad_all = jax.vmap(jax.value_and_grad(loss_one), in_axes=(0, None))
+        loss_all_fn = jax.vmap(loss_one, in_axes=(0, None))
+
     if cfg.dp:
         # particles sharded over the mesh: each device solves its shard,
         # two tiny all-gathers per iteration (parallel/svgd_dp.py)
@@ -184,8 +234,6 @@ def build_uq(cfg: CathodeUQConfig = CathodeUQConfig(),
     else:
         extras_mesh = None
 
-    grad_all = jax.vmap(jax.value_and_grad(loss_one), in_axes=(0, None))
-
     @jax.jit
     def _svgd_iteration_local(particles, i_exp, stepsize):
         losses, grads = grad_all(particles, i_exp)
@@ -209,6 +257,7 @@ def build_uq(cfg: CathodeUQConfig = CathodeUQConfig(),
     extras = {
         "ts": ts, "reps": reps, "masks": masks, "betas": betas,
         "normalizer": normalizer, "loss_one": loss_one,
+        "loss_all": loss_all_fn,
         "predict_one": predict_one, "denormalise": denormalise,
         "n_exp": n_exp, "p_scales": p_scales, "mesh": extras_mesh,
     }
@@ -257,7 +306,7 @@ def run_uq(cfg: CathodeUQConfig = CathodeUQConfig(),
             resumed_val = saved["loss_val"].tolist()
             if verbose:
                 print(f"resuming from {pf} at iter {start_it}", flush=True)
-    loss_all = jax.vmap(ex["loss_one"], in_axes=(0, None))
+    loss_all = ex["loss_all"]
     val_index = cfg.val_index
     train_ids = np.asarray(
         [i for i in range(ex["n_exp"]) if i != val_index], np.int32)
@@ -375,10 +424,14 @@ if __name__ == "__main__":
     ap = argparse.ArgumentParser()
     ap.add_argument("--iters", type=int, default=200)
     ap.add_argument("--particles", type=int, default=100)
-    ap.add_argument("--solver", default="trbdf2",
-                    help="trbdf2 (reference AutoTsit5(TRBDF2) analogue) or "
-                         "rosenbrock23 (~4x faster per SVGD iteration on TPU "
-                         "at matched likelihood, round-2 measurement)")
+    ap.add_argument("--solver", default="rosenbrock23",
+                    help="rosenbrock23 (default; batch-major fused-ensemble "
+                         "likelihood, the fast TPU path) or trbdf2 (the "
+                         "reference AutoTsit5(TRBDF2) analogue; posterior "
+                         "consistency recorded in posterior_summary.md)")
+    ap.add_argument("--no-batch-major", action="store_true",
+                    help="force the per-lane vmap likelihood (A/B control "
+                         "for the batch-major fused-ensemble path)")
     ap.add_argument("--p-opt", default=None,
                     help="path to the deterministic optimum (p_opt.npy from "
                          "the cathode run) to warm-start the ensemble, as the "
@@ -417,7 +470,8 @@ if __name__ == "__main__":
     cfg = CathodeUQConfig(n_iters=args.iters, num_particles=args.particles,
                           data_dir=args.data_dir, solver=args.solver,
                           stepsize_decay_epochs=args.decay_epochs,
-                          maxiters=args.maxiters, dp=args.dp)
+                          maxiters=args.maxiters, dp=args.dp,
+                          batch_major=not args.no_batch_major)
     p_opt = np.load(args.p_opt) if args.p_opt else None
     import os
 

@@ -178,6 +178,76 @@ def make_cathode_rhs(lb: float, t0_kelvin: float = 373.15,
     return rhs
 
 
+def make_cathode_rhs_batch(lb: float, t0_kelvin: float = 373.15,
+                           exp_cap: float = 32.0):
+    """Batch-major cathode RHS with analytic Jacobian and analytic df/dt.
+
+    For ``ode.batch_solve.batch_odesolve_rb23(..., nonautonomous=True)``:
+    the whole particle/experiment batch evaluates in ONE fused set of
+    (B, 3) elementwise ops per solver stage — the layout that replaces the
+    reference's serial 100-particle loop (UQ network.jl:227) with a single
+    XLA program over the ensemble.
+
+    args = (w, beta): ``w`` a CRNNWeights whose every leaf carries a
+    leading (B,) axis; ``beta`` scalar or (B,) heating rate [K/min].
+
+    The kinetics are k_i(T) = exp(lnA_i + b_i ln T - Ea_i*1e5/(R T)) with
+    r_i = k_i * clamp(y_i)^n_i (Cathode/src/network.jl:60-80): each rate
+    touches exactly one species, so the Jacobian is the closed bidiagonal
+    form J = A @ diag(g) with g_i = r_i * n_i / y_i (A the sequential
+    stoichiometry), and df/dt = A @ (r * dz/dT) * dT/dt with
+    dz/dT = b/T + Ea*1e5/(R T^2), dT/dt = beta/60 — no jacfwd probes.
+    Derivatives are zeroed outside the y-clamp window and past the exp
+    cap, matching the subgradients AD produces on the clipped RHS.
+
+    Returns (f, f_jac): ``f(t (B,), y (B,3), args) -> (B,3)`` and
+    ``f_jac -> (du, J (B,3,3), ft (B,3))``.
+    """
+
+    def _core(t, y, args):
+        w, beta = args
+        beta = jnp.broadcast_to(jnp.asarray(beta, y.dtype), t.shape)
+        temp = t0_kelvin + beta / 60.0 * t                    # (B,)
+        yc = jnp.clip(y, lb, 10.0)
+        z = (jnp.log(temp)[:, None] * w.extra["b"]
+             - (w.extra["Ea"] * 1e5) / (R_J * temp[:, None])
+             + w.w_in * jnp.log(yc) + w.w_b)
+        rates = jnp.exp(jnp.minimum(z, exp_cap))              # (B, 3)
+        return rates, yc, temp, z, beta
+
+    def _assemble(r, w):
+        # du = A @ r for the sequential c1 -> c2 -> c3 chain
+        return jnp.stack(
+            [-r[:, 0],
+             w.w_out[:, 1] * r[:, 0] - r[:, 1],
+             w.w_out[:, 2] * r[:, 1] - r[:, 2]], axis=-1)
+
+    def f(t, y, args):
+        rates, _, _, _, _ = _core(t, y, args)
+        return _assemble(rates, args[0])
+
+    def f_jac(t, y, args):
+        w = args[0]
+        rates, yc, temp, z, beta = _core(t, y, args)
+        du = _assemble(rates, w)
+        live = ((y > lb) & (y < 10.0) & (z < exp_cap)).astype(y.dtype)
+        g = rates * w.w_in / yc * live                        # (B, 3)
+        zero = jnp.zeros_like(g[:, 0])
+        jac = jnp.stack([
+            jnp.stack([-g[:, 0], zero, zero], -1),
+            jnp.stack([w.w_out[:, 1] * g[:, 0], -g[:, 1], zero], -1),
+            jnp.stack([zero, w.w_out[:, 2] * g[:, 1], -g[:, 2]], -1),
+        ], axis=1)
+        dz_dt = ((w.extra["b"] / temp[:, None]
+                  + (w.extra["Ea"] * 1e5) / (R_J * temp[:, None] ** 2))
+                 * (beta / 60.0)[:, None])
+        dr_dt = rates * dz_dt * (z < exp_cap).astype(y.dtype)
+        ft = _assemble(dr_dt, w)
+        return du, jac, ft
+
+    return f, f_jac
+
+
 def cathode_hrr(ts, ys, w: CRNNWeights, beta, lb: float,
                 t0_kelvin: float = 373.15, exp_cap: float = 32.0):
     """Heat-release rate reconstruction: HRR(t) = rates(t) @ delH

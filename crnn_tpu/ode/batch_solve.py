@@ -14,12 +14,20 @@ function in every workload (case2/case2.jl:114-118).
 Semantics match ``odesolve`` + ``Rosenbrock23``: Shampine 2(3) W-method,
 per-lane I-controller with stop-gradient step decisions, cubic-Hermite
 ``saveat`` dense output, status masking for finished/failed lanes.
-Restricted to autonomous systems (df/dt = 0) — true for every CRNN case
-family where temperature is carried as a state (case2/case2.jl:113-118)
-or absent; the temperature-ramp Cathode model uses the per-lane driver.
+
+Non-autonomous systems (round 5): pass ``nonautonomous=True`` and have
+``f_jac`` additionally return ``ft = df/dt (B, ns)``; the driver then adds
+Shampine's ``dt*d*ft`` term to the k1/k3 stage RHS exactly as the per-lane
+``Rosenbrock23.step`` does (rosenbrock.py:82-88). This lifts the round-4
+autonomous-only restriction so the temperature-ramp Cathode family
+(Cathode/src/network.jl:60-80 — T(t) = T0 + beta/60*t enters the rates,
+df/dt != 0) can run batch-major: the 100-particle SVGD likelihood becomes
+one fused whole-ensemble evaluation per solver step instead of 100
+per-lane solves (UQ network.jl:227 evaluates particles serially).
 
 Interface: ``f(t (B,), y (B, ns), args) -> (B, ns)`` and
-``f_jac(t, y, args) -> (du (B, ns), J (B, ns, ns))``.
+``f_jac(t, y, args) -> (du (B, ns), J (B, ns, ns))`` — plus a trailing
+``ft (B, ns)`` element when ``nonautonomous=True``.
 
 Low-rank mode (``jac_mode='lowrank'``): the CRNN Jacobian is EXACTLY
 rank-nr — J = U @ V with U = w_out (ns x nr, shared across lanes and
@@ -126,6 +134,7 @@ def batch_odesolve_rb23(
     factor_max: float = 10.0,
     dtmin_frac: float = 1e-12,
     jac_mode: str = "dense",
+    nonautonomous: bool = False,
 ) -> BatchODESolution:
     """Integrate all B lanes from t0 to t1 with one fused f/J per step."""
     dtype = jnp.result_type(y0.dtype)
@@ -173,7 +182,8 @@ def batch_odesolve_rb23(
         # ---- one fused whole-batch value+Jacobian evaluation -------------
         hd = dt * _D
         if jac_mode == "lowrank":
-            f0, u_fac, v_fac = f_jac(s.t, s.y, args)   # (B,ns),(ns,nr),(B,nr,ns)
+            jac_out = f_jac(s.t, s.y, args)   # (B,ns),(ns,nr),(B,nr,ns)[,ft]
+            f0, u_fac, v_fac = jac_out[:3]
             nr = u_fac.shape[1]
             # inner matrix M = I_nr - h*d * V U, shared by all three solves
             m = jnp.eye(nr, dtype=dtype)[None] - hd[:, None, None] * jnp.einsum(
@@ -189,7 +199,8 @@ def batch_odesolve_rb23(
                 return v + hd[:, None] * jnp.einsum(
                     "jq,bq->bj", u_fac, jnp.einsum("bqr,br->bq", m_inv, s_r))
         else:
-            f0, jac = f_jac(s.t, s.y, args)
+            jac_out = f_jac(s.t, s.y, args)
+            f0, jac = jac_out[:2]
             w = eye[None] - hd[:, None, None] * jac
             w_inv_raw, min_piv = batched_inv(w)
             piv_good = pivot_ok(w, min_piv)  # (B,) — ADVICE r3 guard
@@ -200,12 +211,19 @@ def batch_odesolve_rb23(
             def wsolve(v):  # (B, ns)
                 return jnp.einsum("bij,bj->bi", w_inv, v)
 
-        k1 = wsolve(f0)
+        if nonautonomous:
+            # Shampine dt*d*ft stage term (rosenbrock.py:82-88); f_jac's
+            # trailing element is the analytic/jvp df/dt for the batch
+            dtd_ft = hd[:, None] * jac_out[-1]
+        else:
+            dtd_ft = 0.0
+
+        k1 = wsolve(f0 + dtd_ft)
         f1 = f(s.t + 0.5 * dt, s.y + (0.5 * dt)[:, None] * k1, args)
         k2 = wsolve(f1 - k1) + k1
         y1 = s.y + dt[:, None] * k2
         f2 = f(s.t + dt, y1, args)
-        k3 = wsolve(f2 - _E32 * (k2 - f1) - 2.0 * (k1 - f0))
+        k3 = wsolve(f2 - _E32 * (k2 - f1) - 2.0 * (k1 - f0) + dtd_ft)
         y_err = (dt / 6.0)[:, None] * (k1 - 2.0 * k2 + k3)
 
         # piv_good: a near-zero no-pivot diagonal yields a finite-but-wrong

@@ -158,3 +158,117 @@ def test_lowrank_woodbury_parity():
         lambda p_: jnp.mean(jnp.abs(_solve_batch_major(p_, u0, saveat)[0][:, :, :NS])))(p)
     np.testing.assert_allclose(np.asarray(g_lr), np.asarray(g_dense),
                                rtol=1e-5, atol=1e-8)
+
+
+# --------------------------------------------------------------------------
+# Non-autonomous (cathode T(t)-ramp) batch-major path — round 5
+# --------------------------------------------------------------------------
+
+def _cathode_setup(b=5, dtype=jnp.float64):
+    from crnn_tpu.transforms.p2vec import init_params_cathode, p2vec_cathode
+
+    key = jax.random.PRNGKey(7)
+    ps = (init_params_cathode(key, dtype=dtype)[None, :]
+          + 0.02 * jax.random.normal(key, (b, 18), dtype))
+    w_b = jax.vmap(p2vec_cathode)(ps)
+    u0 = jnp.zeros((b, 3), dtype).at[:, 0].set(1.0)
+    t1 = 1500.0
+    saveat = jnp.linspace(0.0, t1, 24, dtype=dtype)
+    return ps, w_b, u0, t1, saveat
+
+
+def test_cathode_analytic_jac_ft_vs_ad():
+    """Closed-form Jacobian and df/dt of the batched cathode RHS match
+    forward-mode AD on the same clipped RHS."""
+    from crnn_tpu.models.crnn import make_cathode_rhs, make_cathode_rhs_batch
+    from crnn_tpu.transforms.p2vec import p2vec_cathode
+
+    ps, w_b, u0, _, _ = _cathode_setup()
+    f, f_jac = make_cathode_rhs_batch(1e-8)
+    rhs_lane = make_cathode_rhs(1e-8)
+    beta = 10.0
+    t = jnp.linspace(100.0, 900.0, ps.shape[0])
+    y = jnp.abs(jax.random.normal(jax.random.PRNGKey(1), u0.shape)) * 0.4 + 0.05
+
+    du, jac, ft = f_jac(t, y, (w_b, beta))
+    np.testing.assert_allclose(np.asarray(f(t, y, (w_b, beta))),
+                               np.asarray(du), rtol=1e-12)
+
+    for i in range(ps.shape[0]):
+        w_i = p2vec_cathode(ps[i])
+        du_ad = rhs_lane(t[i], y[i], (w_i, beta))
+        jac_ad = jax.jacfwd(lambda yy: rhs_lane(t[i], yy, (w_i, beta)))(y[i])
+        ft_ad = jax.jvp(lambda tt: rhs_lane(tt, y[i], (w_i, beta)),
+                        (t[i],), (jnp.ones((), y.dtype),))[1]
+        np.testing.assert_allclose(np.asarray(du[i]), np.asarray(du_ad),
+                                   rtol=1e-10, atol=1e-12)
+        np.testing.assert_allclose(np.asarray(jac[i]), np.asarray(jac_ad),
+                                   rtol=1e-9, atol=1e-11)
+        np.testing.assert_allclose(np.asarray(ft[i]), np.asarray(ft_ad),
+                                   rtol=1e-9, atol=1e-11)
+
+
+def test_cathode_nonautonomous_parity_and_grad():
+    """Batch-major nonautonomous=True reproduces per-lane Rosenbrock23
+    (which carries the Shampine dt*d*ft term) on the heating-ramp cathode:
+    trajectories and parameter gradients."""
+    from crnn_tpu.models.crnn import make_cathode_rhs, make_cathode_rhs_batch
+    from crnn_tpu.transforms.p2vec import p2vec_cathode
+
+    ps, _, u0, t1, saveat = _cathode_setup()
+    beta = 10.0
+    rhs_lane = make_cathode_rhs(1e-8)
+    f, f_jac = make_cathode_rhs_batch(1e-8)
+
+    def solve_lane(ps_):
+        def one(p_i, u0_i):
+            w = p2vec_cathode(p_i)
+            sol = odesolve(rhs_lane, Rosenbrock23(), u0_i, 0.0, t1, saveat,
+                           args=(w, beta), rtol=1e-4, atol=1e-8,
+                           max_steps=512, unroll="scan")
+            return sol.ys, sol.success
+        return jax.vmap(one)(ps_, u0)
+
+    def solve_bm(ps_):
+        from crnn_tpu.transforms.p2vec import p2vec_cathode as p2v
+        w_b = jax.vmap(p2v)(ps_)
+        sol = batch_odesolve_rb23(
+            f, f_jac, u0, 0.0, t1, saveat, args=(w_b, beta),
+            rtol=1e-4, atol=1e-8, max_steps=512, unroll="scan",
+            nonautonomous=True)
+        return sol.ys, sol.success
+
+    ys_lane, ok_lane = solve_lane(ps)
+    ys_bm, ok_bm = solve_bm(ps)
+    assert np.all(np.asarray(ok_lane)) and np.all(np.asarray(ok_bm))
+    np.testing.assert_allclose(np.asarray(ys_bm), np.asarray(ys_lane),
+                               rtol=1e-7, atol=1e-9)
+
+    g_lane = jax.grad(lambda q: jnp.mean(jnp.abs(solve_lane(q)[0])))(ps)
+    g_bm = jax.grad(lambda q: jnp.mean(jnp.abs(solve_bm(q)[0])))(ps)
+    np.testing.assert_allclose(np.asarray(g_bm), np.asarray(g_lane),
+                               rtol=1e-5, atol=1e-9)
+
+
+def test_cathode_omitting_ft_diverges_from_reference_path():
+    """Sanity that the ft term matters on the ramp: solving the same problem
+    autonomously (ft dropped) must NOT match per-lane Rosenbrock23 to the
+    parity tolerance — guards against the term silently becoming a no-op."""
+    from crnn_tpu.models.crnn import make_cathode_rhs_batch
+    from crnn_tpu.transforms.p2vec import p2vec_cathode
+
+    ps, _, u0, t1, saveat = _cathode_setup()
+    beta = 10.0
+    f, f_jac = make_cathode_rhs_batch(1e-8)
+    w_b = jax.vmap(p2vec_cathode)(ps)
+
+    def run(nonauto):
+        fj = f_jac if nonauto else (lambda t, y, a: f_jac(t, y, a)[:2])
+        sol = batch_odesolve_rb23(
+            f, fj, u0, 0.0, t1, saveat, args=(w_b, beta),
+            rtol=1e-4, atol=1e-8, max_steps=512, unroll="scan",
+            nonautonomous=nonauto)
+        return np.asarray(sol.ys)
+
+    diff = np.max(np.abs(run(True) - run(False)))
+    assert diff > 1e-9, f"ft term had no effect (max diff {diff})"
