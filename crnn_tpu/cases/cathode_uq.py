@@ -57,6 +57,13 @@ class CathodeUQConfig:
     # particle loop (UQ network.jl:227). Only takes effect with
     # solver == "rosenbrock23" (the batch driver IS a Rosenbrock23).
     batch_major: bool = True
+    # working precision. float64 matches the reference (Julia f64 on CPU);
+    # TPU emulates f64 as double-float pairs at ~10x the f32 multiply cost,
+    # so float32 is the TPU-native regime — the likelihood tolerances
+    # (rtol 1e-4 against 5%-noise replicate curves) sit far above f32
+    # round-off; posterior consistency vs f64 is recorded in
+    # runs/cathode_uq/batch_major_consistency.md before any default flips.
+    dtype: str = "float64"
     val_index: int = 3
     seed: int = 0
     data_dir: Optional[str] = None
@@ -93,10 +100,11 @@ def build_uq(cfg: CathodeUQConfig = CathodeUQConfig(),
              p_opt: Optional[np.ndarray] = None):
     """Returns (state dict, step_fn, extras). step_fn advances one SVGD
     iteration over one experiment's likelihood."""
-    from crnn_tpu.infra.runtime import enable_x64
+    dtype = jnp.dtype(cfg.dtype)
+    if dtype == jnp.float64:
+        from crnn_tpu.infra.runtime import enable_x64
 
-    enable_x64()
-    dtype = jnp.float64
+        enable_x64()
     key = jax.random.PRNGKey(cfg.seed)
     k_init, k_rep = jax.random.split(key)
 
@@ -138,6 +146,7 @@ def build_uq(cfg: CathodeUQConfig = CathodeUQConfig(),
         p_opt = np.asarray(init_params_cathode(jax.random.PRNGKey(1), dtype))
     particles, p_scales = correlated_init(k_init, np.asarray(p_opt), cfg)
     particles = particles.astype(dtype)
+    p_scales = p_scales.astype(dtype)
 
     rhs = make_cathode_rhs(cfg.lb)
     solver = get_solver(cfg.solver)
@@ -146,12 +155,12 @@ def build_uq(cfg: CathodeUQConfig = CathodeUQConfig(),
     def denormalise(p_norm):
         """Normalised particle -> raw 18-vector for p2vec (slope appended)."""
         raw17 = p_norm * p_scales / jnp.concatenate([
-            jnp.asarray([20.0 * p_opt[17] * 10.0] * 3),
-            jnp.ones(6),
-            jnp.asarray([100.0] * 3),
-            jnp.ones(5),
+            jnp.asarray([20.0 * p_opt[17] * 10.0] * 3, dtype),
+            jnp.ones(6, dtype),
+            jnp.asarray([100.0] * 3, dtype),
+            jnp.ones(5, dtype),
         ])
-        return jnp.concatenate([raw17, jnp.asarray([p_opt[17]])])
+        return jnp.concatenate([raw17, jnp.asarray([p_opt[17]], dtype)])
 
     def predict_one(p_norm, i_exp):
         """Posterior-predictive HRR curve for one particle/experiment."""
@@ -338,7 +347,8 @@ def run_uq(cfg: CathodeUQConfig = CathodeUQConfig(),
             decays = np.arange(it, it + c) // cfg.stepsize_decay_epochs
             ss = cfg.stepsize * cfg.stepsize_decay ** decays
             particles, (mts, mvs, phist) = run_chunk(
-                particles, jnp.asarray(perms), jnp.asarray(ss))
+                particles, jnp.asarray(perms),
+                jnp.asarray(ss, particles.dtype))
             mts, mvs = np.asarray(mts), np.asarray(mvs)   # ONE bulk sync
             phist = np.asarray(phist)
             losses_train.extend(mts.tolist())
@@ -432,6 +442,10 @@ if __name__ == "__main__":
     ap.add_argument("--no-batch-major", action="store_true",
                     help="force the per-lane vmap likelihood (A/B control "
                          "for the batch-major fused-ensemble path)")
+    ap.add_argument("--dtype", default="float64",
+                    help="working precision; float32 is the TPU-native "
+                         "regime (f64 is emulated ~10x slower) — see "
+                         "batch_major_consistency.md for the posterior check")
     ap.add_argument("--p-opt", default=None,
                     help="path to the deterministic optimum (p_opt.npy from "
                          "the cathode run) to warm-start the ensemble, as the "
@@ -471,7 +485,8 @@ if __name__ == "__main__":
                           data_dir=args.data_dir, solver=args.solver,
                           stepsize_decay_epochs=args.decay_epochs,
                           maxiters=args.maxiters, dp=args.dp,
-                          batch_major=not args.no_batch_major)
+                          batch_major=not args.no_batch_major,
+                          dtype=args.dtype)
     p_opt = np.load(args.p_opt) if args.p_opt else None
     import os
 
