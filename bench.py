@@ -212,6 +212,25 @@ def main() -> None:
 
     _metric("svgd_iter_ms", _svgd)
 
+    def _svgd_f32():
+        # TPU-native working precision (f64 on v5e is double-float
+        # emulation); posterior consistency vs the f64 chain is recorded in
+        # runs/cathode_uq/batch_major_consistency.md — this measures the
+        # same batch-major iteration with dtype=float32, no x64 scope needed
+        from crnn_tpu.cases.cathode_uq import CathodeUQConfig, build_uq
+
+        particles, svgd_step, _ = build_uq(CathodeUQConfig(dtype="float32"))
+        i0 = jnp.asarray(0)
+        new_p, _ = svgd_step(particles, i0, 2e-4)
+        new_p.block_until_ready()
+        t0 = time.perf_counter()
+        for _ in range(20):
+            new_p, _ = svgd_step(new_p, i0, 2e-4)
+        new_p.block_until_ready()
+        return round((time.perf_counter() - t0) / 20 * 1e3, 3)
+
+    _metric("svgd_iter_f32_ms", _svgd_f32)
+
     def _fwd():
         s_fwd = build(Case2Config(grad_mode="fwd", batch_major=False))
         s_fwd.trainer.grad_mode = "fwd"

@@ -56,3 +56,20 @@ def test_svgd_step_moves_toward_mode():
     x = jnp.ones((10, 2)) * 3.0 + jax.random.normal(jax.random.PRNGKey(2), (10, 2)) * 0.1
     x2 = svgd_step(x, grad_logp(x), stepsize=0.1)
     assert float(jnp.mean(jnp.abs(x2))) < float(jnp.mean(jnp.abs(x)))
+
+
+def test_cathode_uq_f32_build_and_step():
+    """The float32 (TPU-native) UQ build: dtype threads end-to-end and one
+    batch-major SVGD step stays finite and moves the ensemble."""
+    from crnn_tpu.cases.cathode_uq import CathodeUQConfig, build_uq
+
+    cfg = CathodeUQConfig(num_particles=4, dtype="float32")
+    particles, step, ex = build_uq(cfg)
+    assert particles.dtype == jnp.float32
+    assert ex["p_scales"].dtype == jnp.float32
+    assert ex["reps"].dtype == jnp.float32
+    new_p, loss = step(particles, jnp.asarray(0), 2e-4)
+    assert new_p.dtype == jnp.float32
+    assert np.isfinite(float(loss))
+    assert np.all(np.isfinite(np.asarray(new_p)))
+    assert float(jnp.max(jnp.abs(new_p - particles))) > 0.0
