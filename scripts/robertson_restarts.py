@@ -50,6 +50,17 @@ def main():
     # search toward sparse basins during training, not post-hoc
     ap.add_argument("--l1", type=float, default=0.0,
                     help="L1 on active reaction orders (train loss only)")
+    # TPU-scale staging (round 5): hunt basins in f32 (~10x cheaper epochs
+    # on TPU where f64 is emulated), then re-enter the best params in f64
+    # via --init-from for the depth stages + LM. Basin SELECTION tolerates
+    # the f32 loss floor (1.4e-2); basin DEPTH does not.
+    ap.add_argument("--dtype", default="float64",
+                    help="training precision for the Adam stages")
+    ap.add_argument("--init-from", default=None,
+                    help="npy of (R, np) params to continue from instead "
+                         "of fresh random inits (two-phase f32 -> f64 hunt)")
+    ap.add_argument("--tag", default=None,
+                    help="artifact tag override (default r<R>_seed<seed>)")
     args = ap.parse_args()
 
     import jax
@@ -60,15 +71,23 @@ def main():
                                           run_lm_finish)
     from crnn_tpu.transforms.p2vec import init_params_robertson
 
-    cfg = RobertsonConfig()
+    cfg = RobertsonConfig(dtype=args.dtype)
     setup = build(cfg)
     ds = setup.dataset
     loss_i = setup.extras["loss_i_exp"]
-    mask_all = jnp.ones((cfg.datasize,), jnp.float64)
+    train_dtype = jnp.dtype(args.dtype)
+    mask_all = jnp.ones((cfg.datasize,), train_dtype)
     R = args.restarts
 
-    keys = jax.random.split(jax.random.PRNGKey(args.base_seed), R)
-    ps = jax.vmap(lambda k: init_params_robertson(k, cfg.ns, cfg.nr))(keys)
+    if args.init_from:
+        ps = jnp.asarray(np.load(args.init_from), train_dtype)
+        R = ps.shape[0]
+        print(f"continuing {R} restarts from {args.init_from} "
+              f"in {args.dtype}", flush=True)
+    else:
+        keys = jax.random.split(jax.random.PRNGKey(args.base_seed), R)
+        ps = jax.vmap(lambda k: init_params_robertson(
+            k, cfg.ns, cfg.nr, dtype=train_dtype))(keys)
 
     def mean_loss(p, lo, hi):
         return jnp.mean(jax.vmap(lambda i: loss_i(p, i, mask_all))(
@@ -97,8 +116,8 @@ def main():
     best_val = np.full((R,), np.inf)
     best_p = np.array(ps)
     os.makedirs(args.out, exist_ok=True)
-    tag = f"r{R}_seed{args.base_seed}"
-    if args.l1 > 0:
+    tag = args.tag or f"r{R}_seed{args.base_seed}"
+    if args.l1 > 0 and not args.tag:
         tag += f"_l1_{args.l1:g}"
 
     def snapshot():
@@ -166,6 +185,11 @@ def main():
         print(f"restart {r}: val {best_val[r]:.4e} all25 {a25_before:.4e} "
               f"-> LM {a25_after:.4e}", flush=True)
 
+    if champion[1] is None:
+        print(f"phase done (no LM polish requested); best val "
+              f"{best_val.min():.4e} -> {args.out}/restart_p_{tag}.npy",
+              flush=True)
+        return
     np.save(os.path.join(args.out, f"p_independent_{tag}.npy"), champion[1])
     md = os.path.join(args.out, f"independent_hunt_{tag}.md")
     with open(md, "w") as f:

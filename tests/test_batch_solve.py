@@ -272,3 +272,43 @@ def test_cathode_omitting_ft_diverges_from_reference_path():
 
     diff = np.max(np.abs(run(True) - run(False)))
     assert diff > 1e-9, f"ft term had no effect (max diff {diff})"
+
+
+def test_compensated_driver_matches_plain_at_f64():
+    """ode/compensated.py: at f64 the (hi, lo) pair's lo stays ~0, so the
+    compensated driver must reproduce the plain batch driver; two_sum is
+    error-free; gradients flow through the compensated update."""
+    from crnn_tpu.models.crnn import make_crnn_scaled_rhs
+    from crnn_tpu.models.jacobian import make_crnn_scaled_jac
+    from crnn_tpu.ode.compensated import batch_odesolve_rb23_comp, two_sum
+    from crnn_tpu.transforms.p2vec import (init_params_robertson,
+                                           p2vec_robertson)
+
+    a, b = jnp.float32(1.0), jnp.float32(1e-8)
+    s, e = two_sum(a, b)
+    assert float(s) + float(e) == float(np.float64(1.0) + np.float64(1e-8))
+
+    ds = jnp.ones((3,), jnp.float64)
+    rhs = make_crnn_scaled_rhs(1e-8, jnp.inf, ds)
+    jac_fn = make_crnn_scaled_jac(1e-8, jnp.inf, ds)
+    p = init_params_robertson(jax.random.PRNGKey(0), 3, 6)
+    w = p2vec_robertson(p, 3, 6)
+    f_b = lambda t, y, w_: jax.vmap(lambda ti, yi: rhs(ti, yi, w_))(t, y)
+    fj_b = lambda t, y, w_: jax.vmap(
+        lambda ti, yi: (rhs(ti, yi, w_), jac_fn(ti, yi, w_)))(t, y)
+    u0 = jnp.abs(jax.random.normal(jax.random.PRNGKey(1), (4, 3),
+                                   jnp.float64)) * 0.5 + 0.3
+    saveat = 10.0 ** jnp.linspace(0.0, 2.0, 12)
+    s1 = batch_odesolve_rb23(f_b, fj_b, u0, 0.0, 100.0, saveat, args=w,
+                             rtol=1e-3, atol=1e-6, max_steps=128,
+                             unroll="scan")
+    s2 = batch_odesolve_rb23_comp(f_b, fj_b, u0, 0.0, 100.0, saveat, args=w,
+                                  rtol=1e-3, atol=1e-6, max_steps=128)
+    assert np.all(np.asarray(s1.success)) and np.all(np.asarray(s2.success))
+    np.testing.assert_allclose(np.asarray(s2.ys), np.asarray(s1.ys),
+                               rtol=1e-10, atol=1e-12)
+
+    g = jax.grad(lambda q: jnp.mean(jnp.abs(batch_odesolve_rb23_comp(
+        f_b, fj_b, u0, 0.0, 100.0, saveat, args=p2vec_robertson(q, 3, 6),
+        rtol=1e-3, atol=1e-6, max_steps=128).ys)))(p)
+    assert bool(jnp.isfinite(g).all())
