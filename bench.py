@@ -187,6 +187,23 @@ def main() -> None:
     # genuinely double precision) — scope the flip so every metric after
     # these runs in the same f32 regime as the headline (round-4 leak:
     # BENCH_r04 eval_fused_error + fwd_ms measured under x64).
+    #
+    # Gate: the axon tunnel's emulated f64 has been observed to degrade
+    # mid-round into an INDEFINITE block (round 5, 02:53Z: an f64 linspace
+    # that ran at 02:34Z hung forever while f32 stayed healthy). A hung
+    # metric would eat the driver's whole capture window, so probe f64 in
+    # a killable subprocess first and skip the f64-on-device regimes if it
+    # fails; the skip reason ships in the artifact.
+    from crnn_tpu.infra.runtime import f64_device_ok
+
+    f64_ok = f64_device_ok(timeout_s=90.0)
+    if not f64_ok:
+        reason = "f64 device canary failed/hung; f64-on-device metrics skipped"
+        out["f64_skipped"] = reason
+        _emit("f64_canary", {"ok": False, "reason": reason})
+    else:
+        _emit("f64_canary", {"ok": True})
+
     def _robertson():
         from crnn_tpu.cases.robertson import RobertsonConfig
         from crnn_tpu.cases.robertson import build as build_rob
@@ -194,7 +211,10 @@ def main() -> None:
         with x64_scope():
             return round(_time_epoch(build_rob(RobertsonConfig()), n_iters=10), 3)
 
-    _metric("robertson_ms", _robertson)
+    if f64_ok:
+        _metric("robertson_ms", _robertson)
+    else:
+        _emit("robertson_ms", {"skipped": "f64 canary failed"})
 
     def _svgd():
         from crnn_tpu.cases.cathode_uq import CathodeUQConfig, build_uq
@@ -210,7 +230,10 @@ def main() -> None:
             new_p.block_until_ready()
             return round((time.perf_counter() - t0) / 10 * 1e3, 3)
 
-    _metric("svgd_iter_ms", _svgd)
+    if f64_ok:
+        _metric("svgd_iter_ms", _svgd)
+    else:
+        _emit("svgd_iter_ms", {"skipped": "f64 canary failed"})
 
     def _svgd_f32():
         # TPU-native working precision (f64 on v5e is double-float

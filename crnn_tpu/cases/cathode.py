@@ -59,7 +59,7 @@ class CathodeConfig:
 
 
 def build(cfg: CathodeConfig = CathodeConfig()) -> CaseSetup:
-    from crnn_tpu.infra.runtime import enable_x64
+    from crnn_tpu.infra.runtime import enable_x64, host_generation
 
     enable_x64()
     dtype = jnp.float64
@@ -69,17 +69,21 @@ def build(cfg: CathodeConfig = CathodeConfig()) -> CaseSetup:
     else:
         dsc = synthetic_dsc(seed=cfg.seed)
     n_exp = dsc.ts.shape[0]
-    ts = jnp.asarray(dsc.ts, dtype)
-    hrr_data = jnp.asarray(dsc.hrr, dtype)
-    masks = jnp.asarray(dsc.mask, dtype)
-    betas = jnp.asarray(dsc.betas, dtype)
+    # f64 data prep pinned to the host CPU (runtime.host_generation)
+    with host_generation():
+        ts = jnp.asarray(dsc.ts, dtype)
+        hrr_data = jnp.asarray(dsc.hrr, dtype)
+        masks = jnp.asarray(dsc.mask, dtype)
+        betas = jnp.asarray(dsc.betas, dtype)
 
-    # reorder so training curves come first, validation curve last — the
-    # Trainer's split convention (reference skips l_val inside the loop,
-    # crnn_cathode.jl:14-16)
-    order = [i for i in range(n_exp) if i != cfg.val_index] + [cfg.val_index]
-    order = jnp.asarray(order)
-    ts, hrr_data, masks, betas = ts[order], hrr_data[order], masks[order], betas[order]
+        # reorder so training curves come first, validation curve last — the
+        # Trainer's split convention (reference skips l_val inside the loop,
+        # crnn_cathode.jl:14-16)
+        order = [i for i in range(n_exp)
+                 if i != cfg.val_index] + [cfg.val_index]
+        order = jnp.asarray(order)
+        ts, hrr_data, masks, betas = (ts[order], hrr_data[order],
+                                      masks[order], betas[order])
 
     rhs = make_cathode_rhs(cfg.lb)
     solver = get_solver(cfg.solver)

@@ -105,32 +105,38 @@ def build_uq(cfg: CathodeUQConfig = CathodeUQConfig(),
         from crnn_tpu.infra.runtime import enable_x64
 
         enable_x64()
+    from crnn_tpu.infra.runtime import host_generation
+
     key = jax.random.PRNGKey(cfg.seed)
     k_init, k_rep = jax.random.split(key)
 
     # --- data: replicate noisy HRR curves per heating rate ----------------
-    if cfg.data_dir:
-        # real measured replicate curves (UQ dataset.jl:5-24 format)
-        from crnn_tpu.data.loaders import load_uncert_dir
+    # (pinned to the host CPU: f64 array creation must not touch the
+    # accelerator — runtime.host_generation)
+    with host_generation():
+        if cfg.data_dir:
+            # real measured replicate curves (UQ dataset.jl:5-24 format)
+            from crnn_tpu.data.loaders import load_uncert_dir
 
-        unc = load_uncert_dir(cfg.data_dir)
-        ts = jnp.asarray(unc.ts, dtype)
-        masks = jnp.asarray(unc.mask, dtype)
-        betas = jnp.asarray(unc.betas, dtype)
-        reps = jnp.asarray(unc.reps, dtype)                  # (n_exp, n_t, n_rep)
-        mean_curve = np.asarray(unc.reps).mean(axis=2)       # (n_exp, n_t)
-    else:
-        dsc = synthetic_dsc(seed=cfg.seed, noise=0.0)
-        ts = jnp.asarray(dsc.ts, dtype)
-        masks = jnp.asarray(dsc.mask, dtype)
-        betas = jnp.asarray(dsc.betas, dtype)
-        clean = jnp.asarray(dsc.hrr, dtype)                  # (n_exp, n_t)
-        reps = clean[:, :, None] * (
-            1.0
-            + cfg.noise_level
-            * jax.random.normal(k_rep, clean.shape + (cfg.n_replicates,), dtype)
-        )                                                    # (n_exp, n_t, n_rep)
-        mean_curve = np.asarray(clean)
+            unc = load_uncert_dir(cfg.data_dir)
+            ts = jnp.asarray(unc.ts, dtype)
+            masks = jnp.asarray(unc.mask, dtype)
+            betas = jnp.asarray(unc.betas, dtype)
+            reps = jnp.asarray(unc.reps, dtype)              # (n_exp, n_t, n_rep)
+            mean_curve = np.asarray(unc.reps).mean(axis=2)   # (n_exp, n_t)
+        else:
+            dsc = synthetic_dsc(seed=cfg.seed, noise=0.0)
+            ts = jnp.asarray(dsc.ts, dtype)
+            masks = jnp.asarray(dsc.mask, dtype)
+            betas = jnp.asarray(dsc.betas, dtype)
+            clean = jnp.asarray(dsc.hrr, dtype)              # (n_exp, n_t)
+            reps = clean[:, :, None] * (
+                1.0
+                + cfg.noise_level
+                * jax.random.normal(k_rep, clean.shape + (cfg.n_replicates,),
+                                    dtype)
+            )                                                # (n_exp, n_t, n_rep)
+            mean_curve = np.asarray(clean)
     n_exp = ts.shape[0]
     n_rep = reps.shape[2]
     # per-experiment noise normaliser: noise_level x peak HRR per heating

@@ -108,7 +108,7 @@ def synthetic_pyrolysis(t_end: float = 5e-3, n_raw: int = 50,
 
 
 def build(cfg: HyChemConfig = HyChemConfig()) -> CaseSetup:
-    from crnn_tpu.infra.runtime import enable_x64
+    from crnn_tpu.infra.runtime import enable_x64, host_generation
     from crnn_tpu.ode import get_solver, odesolve
 
     enable_x64()
@@ -118,32 +118,35 @@ def build(cfg: HyChemConfig = HyChemConfig()) -> CaseSetup:
            else synthetic_pyrolysis())
     t_raw = raw[:, 0]
     ns = raw.shape[1] - 3
-    mw = jnp.asarray(MW[:ns], dtype)
     t_end = float(t_raw[-1])
 
-    # log-spaced resample (crnn_pyrolysis_mass.jl:42-51)
-    ts = resample_log_grid(t_end, cfg.ntotal, dtype=dtype)
-    t_interp = np.asarray(ts)
-    temps = jnp.asarray(np.interp(t_interp, t_raw, raw[:, 1]), dtype)
-    press = jnp.asarray(np.interp(t_interp, t_raw, raw[:, 2]), dtype)
-    ydata = jnp.asarray(
-        np.stack([np.interp(t_interp, t_raw, raw[:, 3 + i]) for i in range(ns)],
-                 axis=1), dtype)                     # (ntotal, ns)
+    # f64 data prep pinned to the host CPU (runtime.host_generation)
+    with host_generation():
+        mw = jnp.asarray(MW[:ns], dtype)
 
-    lb = cfg.atol
-    yscale = jnp.clip(ydata.max(0) - ydata.min(0), lb, jnp.inf)
-    dydt_scale = yscale / t_end
-    u0 = ydata[0]
+        # log-spaced resample (crnn_pyrolysis_mass.jl:42-51)
+        ts = resample_log_grid(t_end, cfg.ntotal, dtype=dtype)
+        t_interp = np.asarray(ts)
+        temps = jnp.asarray(np.interp(t_interp, t_raw, raw[:, 1]), dtype)
+        press = jnp.asarray(np.interp(t_interp, t_raw, raw[:, 2]), dtype)
+        ydata = jnp.asarray(
+            np.stack([np.interp(t_interp, t_raw, raw[:, 3 + i])
+                      for i in range(ns)], axis=1), dtype)   # (ntotal, ns)
 
-    itp_T = make_interpolant(ts, temps)
-    itp_P = make_interpolant(ts, press)
+        lb = cfg.atol
+        yscale = jnp.clip(ydata.max(0) - ydata.min(0), lb, jnp.inf)
+        dydt_scale = yscale / t_end
+        u0 = ydata[0]
 
-    # element-conservation nullspace (computed even when projection is off,
-    # matching the reference, :60-65)
-    e_mat = np.stack([E_C[:ns], E_H[:ns], E_N[:ns]], axis=1)  # (ns, 3)
-    from scipy.linalg import null_space
+        itp_T = make_interpolant(ts, temps)
+        itp_P = make_interpolant(ts, press)
 
-    e_null = jnp.asarray(null_space(e_mat.T).T, dtype)  # (n_null, ns)
+        # element-conservation nullspace (computed even when projection is
+        # off, matching the reference, :60-65)
+        e_mat = np.stack([E_C[:ns], E_H[:ns], E_N[:ns]], axis=1)  # (ns, 3)
+        from scipy.linalg import null_space
+
+        e_null = jnp.asarray(null_space(e_mat.T).T, dtype)  # (n_null, ns)
 
     def y2density(y, p_pa, temp):
         return p_pa / (8.31446261815324e3 * temp * jnp.sum(y / mw))

@@ -78,7 +78,7 @@ class RobertsonConfig:
 
 
 def build(cfg: RobertsonConfig = RobertsonConfig()) -> CaseSetup:
-    from crnn_tpu.infra.runtime import enable_x64
+    from crnn_tpu.infra.runtime import enable_x64, host_generation
 
     enable_x64()  # truth generation is always f64
     dtype = jnp.float64
@@ -86,21 +86,24 @@ def build(cfg: RobertsonConfig = RobertsonConfig()) -> CaseSetup:
     key = jax.random.PRNGKey(cfg.seed)
     k_u0, k_lhc, k_noise, k_p = jax.random.split(key, 4)
 
-    # -- data (rober_crnn.jl:43-47): u0 ~ U(0,1)*2+0.5 then y2=lb and
-    #    (y1, y3) from a Latin hypercube / n + 0.5
-    u0 = jax.random.uniform(k_u0, (cfg.n_exp, cfg.ns), dtype) * 2.0 + 0.5
-    u0 = u0.at[:, 1].set(cfg.lb)
-    lhc = latin_hypercube(k_lhc, cfg.n_exp, 2, dtype) + 0.5
-    u0 = u0.at[:, 0].set(lhc[:, 0]).at[:, 2].set(lhc[:, 1])
+    # f64 truth generation is pinned to the host CPU (host_generation):
+    # the accelerator path stays strictly working-precision
+    with host_generation():
+        # -- data (rober_crnn.jl:43-47): u0 ~ U(0,1)*2+0.5 then y2=lb and
+        #    (y1, y3) from a Latin hypercube / n + 0.5
+        u0 = jax.random.uniform(k_u0, (cfg.n_exp, cfg.ns), dtype) * 2.0 + 0.5
+        u0 = u0.at[:, 1].set(cfg.lb)
+        lhc = latin_hypercube(k_lhc, cfg.n_exp, 2, dtype) + 0.5
+        u0 = u0.at[:, 0].set(lhc[:, 0]).at[:, 2].set(lhc[:, 1])
 
-    saveat = 10.0 ** jnp.linspace(0.0, 5.0, cfg.datasize).astype(dtype)
-    t1 = float(saveat[-1])
-    dataset = generate_dataset(
-        k_noise, robertson_truth, Rosenbrock23(), u0,
-        ROBERTSON_K.astype(dtype), 0.0, t1, saveat,
-        rtol=1e-8, atol=jnp.array([1e-10, 1e-12, 1e-10]), noise=cfg.noise,
-        scale_mode="max_min", scale_lb=0.0,
-    )
+        saveat = 10.0 ** jnp.linspace(0.0, 5.0, cfg.datasize).astype(dtype)
+        t1 = float(saveat[-1])
+        dataset = generate_dataset(
+            k_noise, robertson_truth, Rosenbrock23(), u0,
+            ROBERTSON_K.astype(dtype), 0.0, t1, saveat,
+            rtol=1e-8, atol=jnp.array([1e-10, 1e-12, 1e-10]),
+            noise=cfg.noise, scale_mode="max_min", scale_lb=0.0,
+        )
     if train_dtype != dtype:
         dataset = dataset._replace(
             **{f: jnp.asarray(getattr(dataset, f), train_dtype)

@@ -62,25 +62,27 @@ def p2vec_qssa(p, ns: int, nr: int):
 
 
 def build(cfg: QSSAConfig = QSSAConfig()) -> CaseSetup:
-    from crnn_tpu.infra.runtime import enable_x64
+    from crnn_tpu.infra.runtime import enable_x64, host_generation
 
     enable_x64()
     dtype = jnp.float64
     key = jax.random.PRNGKey(cfg.seed)
     k_u0, k_noise, k_p, k_mlp = jax.random.split(key, 4)
 
-    # u0 ~ U(0,1)+0.5, radical starts at lb (rober_crnn_qssa.jl:38-39)
-    u0 = jax.random.uniform(k_u0, (cfg.n_exp, cfg.ns), dtype) + 0.5
-    u0 = u0.at[:, 1].set(cfg.lb)
+    # f64 truth generation pinned to the host CPU (see runtime.host_generation)
+    with host_generation():
+        # u0 ~ U(0,1)+0.5, radical starts at lb (rober_crnn_qssa.jl:38-39)
+        u0 = jax.random.uniform(k_u0, (cfg.n_exp, cfg.ns), dtype) + 0.5
+        u0 = u0.at[:, 1].set(cfg.lb)
 
-    saveat = 10.0 ** jnp.linspace(-2.0, 5.0, cfg.datasize).astype(dtype)
-    t1 = float(saveat[-1])
-    dataset = generate_dataset(
-        k_noise, robertson_truth, Rosenbrock23(), u0,
-        ROBERTSON_K.astype(dtype), 0.0, t1, saveat,
-        rtol=1e-8, atol=jnp.array([1e-10, 1e-12, 1e-10]), noise=cfg.noise,
-        scale_mode="none",
-    )
+        saveat = 10.0 ** jnp.linspace(-2.0, 5.0, cfg.datasize).astype(dtype)
+        t1 = float(saveat[-1])
+        dataset = generate_dataset(
+            k_noise, robertson_truth, Rosenbrock23(), u0,
+            ROBERTSON_K.astype(dtype), 0.0, t1, saveat,
+            rtol=1e-8, atol=jnp.array([1e-10, 1e-12, 1e-10]),
+            noise=cfg.noise, scale_mode="none",
+        )
 
     mlp_params, mlp_apply = make_mlp(
         k_mlp, [2, 4, 4, 4, 1], ["gelu", "gelu", "gelu", "exp"], dtype,

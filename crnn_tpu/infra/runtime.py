@@ -54,6 +54,62 @@ def enable_x64() -> None:
     jax.config.update("jax_enable_x64", True)
 
 
+def host_device():
+    """The host CPU device.
+
+    Double-precision truth generation belongs here BY DESIGN: TPUs have no
+    native f64 (it is double-float emulation), and under the axon tunnel
+    f64 dispatch can hang outright mid-round (observed round 5: an f64
+    ``linspace``→``float()`` that ran at 02:34 blocked forever from 02:53,
+    while f32 compute/transfers stayed healthy). Wrap every f64
+    data-generation block in ``jax.default_device(host_device())`` so the
+    accelerator path stays strictly single-precision.
+    """
+    return jax.devices("cpu")[0]
+
+
+@contextmanager
+def host_generation():
+    """``jax.default_device`` scope pinning array creation to the host CPU.
+
+    Used around the f64 truth-generation blocks of the case builds
+    (robertson/cathode/cathode_uq/hychem/robertson_qssa): data is made on
+    the host, cast to the training dtype, and only then fed to jitted
+    device code (which moves it to the accelerator in working precision).
+    """
+    with jax.default_device(host_device()):
+        yield
+
+
+def f64_device_ok(timeout_s: float = 60.0) -> bool:
+    """Probe (in a SUBPROCESS, so a hang cannot block the caller) whether
+    the default JAX device currently executes f64 at all.
+
+    The axon tunnel's f64 support is emulated and has been observed to
+    degrade mid-round into an indefinite block; callers that would
+    dispatch f64 compute to the device (bench's robertson f64 epoch, f64
+    polish stages) must gate on this instead of hanging a capture window.
+    """
+    import subprocess
+    import sys
+
+    code = (
+        "import os, jax;"
+        "p = os.environ.get('CRNN_TPU_PLATFORM');"
+        "p and jax.config.update('jax_platforms', p);"
+        "jax.config.update('jax_enable_x64', True);"
+        "import jax.numpy as jnp;"
+        "x = jnp.linspace(0.0, 1.0, 8).astype(jnp.float64);"
+        "print(float((x * x).sum()))"
+    )
+    try:
+        r = subprocess.run([sys.executable, "-c", code], timeout=timeout_s,
+                           capture_output=True)
+        return r.returncode == 0
+    except subprocess.TimeoutExpired:
+        return False
+
+
 @contextmanager
 def x64_scope(enable: bool = True):
     """Snapshot/restore ``jax_enable_x64`` around a block.

@@ -39,9 +39,12 @@ np.save(f"{out}/hunt_val_spectrum_{tag1}.npy", np.sort(v))
 print("top vals:", np.sort(v)[:k])
 EOF
 
-echo "=== phase 2: top-${TOPK} f64 depth + LM ==="
-python scripts/robertson_restarts.py --dtype float64 \
+echo "=== phase 2: top-${TOPK} f64 depth + LM (CPU host) ==="
+# f64 runs on the host: the axon tunnel's emulated f64 degraded into an
+# indefinite block mid-round-5 (runtime.f64_device_ok docstring) — depth
+# polish must not gamble the chain on it. The f32 phase keeps the TPU.
+CRNN_TPU_PLATFORM=cpu python scripts/robertson_restarts.py --dtype float64 \
   --init-from "$OUT/seed_p_${TAG2}.npy" \
-  --stages 3e-4:3000,1e-4:3000 --base-seed "$SEED" \
+  --stages 3e-4:2000,1e-4:2000 --base-seed "$SEED" \
   --lm-top 3 --lm-iters 150 --tag "$TAG2"
 echo "=== hunt chain done ==="
