@@ -216,6 +216,22 @@ def main() -> None:
     else:
         _emit("robertson_ms", {"skipped": "f64 canary failed"})
 
+    def _robertson_f32():
+        # TPU working-precision stiff epoch (same 25x40 Rosenbrock23
+        # workload, dtype=float32): always measurable on-chip — the f64
+        # epoch above is emulated and gated on the canary. The f32/f64
+        # quality split is documented in runs/robertson_long/
+        # f32_experiment.md + comp32_experiment.md (f32 = basin
+        # selection, f64 = depth).
+        from crnn_tpu.cases.robertson import RobertsonConfig
+        from crnn_tpu.cases.robertson import build as build_rob
+
+        with x64_scope():  # generation is f64 (host-pinned); scope the flip
+            s = build_rob(RobertsonConfig(dtype="float32"))
+        return round(_time_epoch(s, n_iters=10), 3)
+
+    _metric("robertson_f32_ms", _robertson_f32)
+
     def _svgd():
         from crnn_tpu.cases.cathode_uq import CathodeUQConfig, build_uq
 
