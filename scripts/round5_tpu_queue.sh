@@ -8,8 +8,12 @@
 set -uo pipefail
 cd "$(dirname "$0")/.."
 
-echo "[queue] waiting for rob-hunt256 to clear the manifest..."
-while grep -q "rob-hunt256" runs/JOBS.manifest 2>/dev/null; do
+# The robertson chain frees the TPU when its f32 phase ends (phase 2 is
+# pinned to the CPU host) — the slice artifact marks that moment, long
+# before the manifest tag clears.
+SIG=runs/robertson_long/seed_p_f64polish_top16_seed21.npy
+echo "[queue] waiting for the robertson f32 phase to free the TPU ($SIG)..."
+while [ ! -f "$SIG" ] && grep -q "rob-hunt256" runs/JOBS.manifest 2>/dev/null; do
   sleep 60
 done
 echo "[queue] TPU free at $(date -u +%H:%M:%S)Z"
