@@ -49,6 +49,11 @@ class YeastConfig:
     solver: str = "trbdf2"
     mode: str = "batch"
     dtype: str = "float32"
+    # hidden width of the observed->hidden MLP. 0 = reference structure
+    # (node = ns_ - ns = 5 per hidden layer, yeast_glycolysis.jl:128-133);
+    # >0 widens the three hidden layers only (output stays ns_ - ns) for
+    # the round-5 capacity ablation.
+    mlp_width: int = 0
 
     @property
     def n_exp(self) -> int:
@@ -86,8 +91,9 @@ def build(cfg: YeastConfig = YeastConfig()) -> CaseSetup:
 
     # hybrid MLP: observed (7,) -> hidden (5,) (yeast_glycolysis.jl:128-136)
     node = cfg.ns_ - cfg.ns
+    width = cfg.mlp_width or node
     mlp_params, mlp_apply = make_mlp(
-        k_mlp, [cfg.ns, node, node, node, cfg.ns_ - cfg.ns],
+        k_mlp, [cfg.ns, width, width, width, node],
         ["gelu", "gelu", "gelu", "softplus"], dtype,
     )
     rhs = make_crnn_yeast_rhs(cfg.lb, cfg.ub, cfg.ns, mlp_apply)
@@ -173,8 +179,10 @@ if __name__ == "__main__":
                          "tail, poisoning full-horizon loss/gradients)")
     ap.add_argument("--dp", type=int, default=0,
                     help="data-parallel over N devices (-1 = all)")
+    ap.add_argument("--mlp-width", type=int, default=0,
+                    help="hidden width of the 7->5 MLP (0 = reference 5)")
     args = ap.parse_args()
-    cfg = YeastConfig(mode=args.mode)
+    cfg = YeastConfig(mode=args.mode, mlp_width=args.mlp_width)
     if args.lr0 is not None:
         cfg.lr0 = args.lr0
     if args.lr_decay_epochs is not None:

@@ -38,6 +38,12 @@ def main():
     ap.add_argument("--out", default="runs/yeast")
     ap.add_argument("--max-steps", type=int, default=1024)
     ap.add_argument("--residuals", choices=["point", "exp"], default="point")
+    ap.add_argument("--mlp-width", type=int, default=0,
+                    help="hidden width of the 7->5 MLP (0 = reference 5); "
+                         "must match the params being polished")
+    ap.add_argument("--label", default="round-4 best",
+                    help="row label for the pre-LM stage in lm_polish.md")
+    ap.add_argument("--doc", default="lm_polish.md")
     args = ap.parse_args()
 
     import jax
@@ -50,7 +56,7 @@ def main():
     from crnn_tpu.train.lm import levenberg_marquardt
     from crnn_tpu.transforms.p2vec import p2vec_yeast
 
-    cfg = YeastConfig(max_steps=args.max_steps)
+    cfg = YeastConfig(max_steps=args.max_steps, mlp_width=args.mlp_width)
     setup = build(cfg)
     ds = setup.dataset
 
@@ -120,7 +126,7 @@ def main():
                  *jax.tree_util.tree_leaves(params_lm))
         print(f"saved improved params -> {args.out}/p_opt_lm.npz", flush=True)
 
-    with open(os.path.join(args.out, "lm_polish.md"), "w") as f:
+    with open(os.path.join(args.out, args.doc), "w") as f:
         f.write("# Yeast hybrid LM polish (round 5)\n\n")
         f.write("First application of the LM finisher (train/lm.py, "
                 "rober_crnn_lm.jl analogue) to an MLP-in-RHS hybrid: the "
@@ -128,7 +134,7 @@ def main():
                 "ravelled to one vector, per-timepoint scaled residuals "
                 f"({args.residuals} mode), max_steps={args.max_steps}.\n\n")
         f.write("| stage | train MAE | val MAE |\n|---|---|---|\n")
-        f.write(f"| Adam plateau (round-4 best) | {lt0:.4e} | {lv0:.4e} |\n")
+        f.write(f"| Adam plateau ({args.label}) | {lt0:.4e} | {lv0:.4e} |\n")
         f.write(f"| + LM polish ({len(info['history'])} accepted steps, "
                 f"{args.iters} max) | {lt1:.4e} | {lv1:.4e} |\n\n")
         verdict = ("val improved" if lv1 < lv0 else
