@@ -10,7 +10,7 @@ that infers the 5 hidden species inside the RHS (yeast_glycolysis.jl:
 128-136) — is ravelled into one flat vector (jax.flatten_util) and
 polished against per-timepoint scaled residuals, i.e. true Gauss-Newton
 on the trajectory MSE rather than the 20-entry per-experiment loss
-residual the robertson finisher uses: with 294 parameters the normal
+residual the robertson finisher uses: with a few hundred parameters the normal
 equations want the better-conditioned tall residual.
 
 Solver budget note: residuals integrate with max_steps=1024 scan unroll —
@@ -128,10 +128,11 @@ def main():
 
     with open(os.path.join(args.out, args.doc), "w") as f:
         f.write("# Yeast hybrid LM polish (round 5)\n\n")
-        f.write("First application of the LM finisher (train/lm.py, "
-                "rober_crnn_lm.jl analogue) to an MLP-in-RHS hybrid: the "
-                "full 294-param pytree (CRNN p2vec + hidden-species MLP) "
-                "ravelled to one vector, per-timepoint scaled residuals "
+        f.write("LM finisher (train/lm.py, rober_crnn_lm.jl analogue) on "
+                f"the MLP-in-RHS hybrid: the full {p0_flat.size}-param "
+                "pytree (CRNN p2vec + hidden-species MLP, width "
+                f"{args.mlp_width or 5}) ravelled to one vector, "
+                "per-timepoint scaled residuals "
                 f"({args.residuals} mode), max_steps={args.max_steps}.\n\n")
         f.write("| stage | train MAE | val MAE |\n|---|---|---|\n")
         f.write(f"| Adam plateau ({args.label}) | {lt0:.4e} | {lv0:.4e} |\n")
