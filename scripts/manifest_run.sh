@@ -36,6 +36,9 @@ echo "$PID $CUTOFF $TAG" >> "$MANIFEST"
 echo "manifest_run[$TAG]: pid=$PID cutoff=$(date -u -d "@$CUTOFF" +%H:%M:%S)Z (${LEFT}s) log=$LOG"
 
 wait "$PID"; rc=$?
-grep -v "^$PID " "$MANIFEST" > "$MANIFEST.tmp" 2>/dev/null && mv "$MANIFEST.tmp" "$MANIFEST"
+# NB: grep -v exits 1 when nothing remains (job was the only manifest
+# entry) — must still install the now-empty manifest, so no `&&` here.
+grep -v "^$PID " "$MANIFEST" > "$MANIFEST.tmp" 2>/dev/null
+mv "$MANIFEST.tmp" "$MANIFEST"
 echo "manifest_run[$TAG]: pid=$PID exited rc=$rc at $(date -u +%H:%M:%S)Z"
 exit $rc
