@@ -15,6 +15,11 @@ same chip. ``sequential_ms`` is the update-count-matched faithful mode
 gradients); ``vs_serial_seq`` = serial_dispatch / sequential.
 
 Breadth — one number per workload regime:
+- ``case2_fused10_epoch_ms``: the same case2 epoch with 10 epochs fused
+  into ONE XLA dispatch (Trainer.epochs_fn(10)); per-epoch ms. Isolates
+  the host->device launch latency from on-chip work: the gap between
+  this and the headline is what long (10k-25k-epoch) runs save with
+  ``--epochs-per-dispatch``.
 - ``fwd_ms``: case2 epoch with forward-mode (jacfwd) gradients through
   the early-exit while driver (the ForwardDiff.gradient analogue).
 - ``robertson_ms``: robertson f64 stiff epoch (25 exps x 40 log steps,
@@ -175,6 +180,27 @@ def main() -> None:
         except Exception as e:  # keep benching the remaining regimes
             out[f"{name}_error"] = f"{type(e).__name__}: {e}"[:200]
             _emit(name, {"error": out[f"{name}_error"]})
+
+    # --- fused-dispatch epoch: k epochs per XLA program -------------------
+    # The 3 ms-class headline is dispatch-latency-bound on the tunnelled
+    # chip; Trainer.guarded-free epochs_fn(k) scans k epochs inside one
+    # program, so long runs (the reference protocols are 10k-25k epochs)
+    # pay the launch once per k. Reported per-epoch for direct comparison
+    # with the headline; same build, same f32 regime.
+    def _fused10():
+        trainer = setup.trainer
+        st = trainer.init(setup.init_params)
+        step10 = trainer.epochs_fn(10)
+        st, ms = step10(st)  # compile + warm
+        ms.loss_train.block_until_ready()
+        t0 = time.perf_counter()
+        n = 5
+        for _ in range(n):
+            st, ms = step10(st)
+        ms.loss_train.block_until_ready()
+        return round((time.perf_counter() - t0) / (n * 10) * 1e3, 3)
+
+    _metric("case2_fused10_epoch_ms", _fused10)
 
     # --- breadth metrics, cheapest-compile-first --------------------------
     from crnn_tpu.cases.case3 import Case3Config

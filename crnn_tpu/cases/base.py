@@ -70,12 +70,18 @@ def run_case(
     seed: int = 0,
     log_every: int = 10,
     dp: int = 0,
+    epochs_per_dispatch: int = 1,
 ) -> tuple[TrainState, dict]:
     """Train a case end-to-end with periodic observability + checkpoints.
 
     ``dp>0`` trains data-parallel over a ``dp``-device mesh (``dp=-1`` =
     all visible devices) via parallel/dp_runner.py; requires the case to
     define ``loss_on_data``.
+
+    ``epochs_per_dispatch`` > 1 fuses that many epochs into one XLA
+    dispatch (Trainer.guarded_epochs_fn) — amortises per-dispatch latency
+    on tunnelled accelerators; metrics stay per-epoch, while plotting /
+    checkpointing happen at chunk boundaries. Ignored under ``dp``.
     """
     if dp:
         from crnn_tpu.parallel.dp_runner import run_case_dp
@@ -131,11 +137,15 @@ def run_case(
         vals = jax.device_get(
             [(m.loss_train, m.loss_val, m.grad_norm) for m in pending]
         )
-        per_epoch = (time.time() - t_flush) / len(pending)
-        for k, (lt, lv, gn) in enumerate(vals):
-            history["loss_train"].append(float(lt))
-            history["loss_val"].append(float(lv))
-            history["grad_norm"].append(float(gn))
+        n_flushed = 0
+        for lt, lv, gn in vals:
+            # fused chunks carry stacked (k,) per-epoch metrics
+            lt, lv, gn = (np.atleast_1d(np.asarray(x)) for x in (lt, lv, gn))
+            history["loss_train"].extend(float(x) for x in lt)
+            history["loss_val"].extend(float(x) for x in lv)
+            history["grad_norm"].extend(float(x) for x in gn)
+            n_flushed += lt.shape[0]
+        per_epoch = (time.time() - t_flush) / max(n_flushed, 1)
         logger.log(epoch=upto_epoch, loss_train=history["loss_train"][-1],
                    loss_val=history["loss_val"][-1],
                    grad_norm=history["grad_norm"][-1], epoch_s=per_epoch)
@@ -146,14 +156,23 @@ def run_case(
         pending = []
         t_flush = time.time()
 
-    for e in range(n_epoch):
-        state, best, m = step(state, best)
+    k_fuse = max(1, int(epochs_per_dispatch))
+    step_k = trainer.guarded_epochs_fn(k_fuse) if k_fuse > 1 else None
+    e = 0
+    while e < n_epoch:
+        if step_k is not None and n_epoch - e >= k_fuse:
+            state, best, m = step_k(state, best)  # metrics stacked (k,)
+            ran = k_fuse
+        else:
+            state, best, m = step(state, best)
+            ran = 1
         pending.append(m)
-        if (e + 1) % flush_every == 0:
-            _flush(epoch0 + e + 1)
+        e += ran
+        if e % flush_every < ran:
+            _flush(epoch0 + e)
 
-        if (e + 1) % n_plot == 0 or e == n_epoch - 1:
-            _flush(epoch0 + e + 1)
+        if e % n_plot < ran or e == n_epoch:
+            _flush(epoch0 + e)
             display_weights(setup.weights_fn(state.params), setup.dydt_scale)
             print(f"[{setup.name}] epoch {int(state.epoch)} "
                   f"min loss train {np.min(history['loss_train']):.4e} "

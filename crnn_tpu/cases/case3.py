@@ -192,10 +192,14 @@ if __name__ == "__main__":
     ap.add_argument("--out", default="runs")
     ap.add_argument("--dp", type=int, default=0,
                     help="data-parallel over N devices (-1 = all)")
+    ap.add_argument("--epochs-per-dispatch", type=int, default=1,
+                    help="fuse N epochs per XLA dispatch (amortises "
+                         "host->device latency on long runs)")
     args = ap.parse_args()
     cfg = grn_config() if args.variant == "grn" else Case3Config()
     cfg.mode = args.mode
     cfg.p_cutoff = args.p_cutoff
     setup = build(cfg)
     run_case(setup, n_epoch=args.epochs, out_dir=args.out,
-             restart=args.restart, dp=args.dp)
+             restart=args.restart, dp=args.dp,
+             epochs_per_dispatch=args.epochs_per_dispatch)

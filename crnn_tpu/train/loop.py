@@ -232,40 +232,108 @@ class Trainer:
 
         Returns jitted (state, best) -> (state, best, metrics).
         """
+        return jax.jit(self._guarded_step)
 
-        def guarded(state: TrainState, best: BestState):
-            new_state, m = self._epoch(state)
-            ok = jnp.isfinite(m.loss_train) & jnp.isfinite(m.grad_norm)
+    def _guarded_step(self, state: TrainState, best: BestState):
+        new_state, m = self._epoch(state)
+        ok = jnp.isfinite(m.loss_train) & jnp.isfinite(m.grad_norm)
 
-            def keep(a, b):
-                return jnp.where(ok, a, b)
+        def keep(a, b):
+            return jnp.where(ok, a, b)
 
-            params = jax.tree.map(keep, new_state.params, state.params)
-            opt_state = jax.tree.map(keep, new_state.opt_state, state.opt_state)
-            new_state = TrainState(params, opt_state, new_state.epoch,
-                                   new_state.key)
+        params = jax.tree.map(keep, new_state.params, state.params)
+        opt_state = jax.tree.map(keep, new_state.opt_state, state.opt_state)
+        new_state = TrainState(params, opt_state, new_state.epoch,
+                               new_state.key)
 
-            is_best = ok & (m.loss_val < best.loss_val)
-            best = BestState(
-                params=jax.tree.map(
-                    lambda b, p: jnp.where(is_best, p, b), best.params, params),
-                loss_val=jnp.where(is_best, m.loss_val.astype(jnp.float32),
-                                   best.loss_val),
-                loss_train=jnp.where(is_best, m.loss_train.astype(jnp.float32),
-                                     best.loss_train),
-                n_skipped=best.n_skipped + jnp.where(ok, 0, 1).astype(jnp.int32),
-            )
-            return new_state, best, m
+        is_best = ok & (m.loss_val < best.loss_val)
+        best = BestState(
+            params=jax.tree.map(
+                lambda b, p: jnp.where(is_best, p, b), best.params, params),
+            loss_val=jnp.where(is_best, m.loss_val.astype(jnp.float32),
+                               best.loss_val),
+            loss_train=jnp.where(is_best, m.loss_train.astype(jnp.float32),
+                                 best.loss_train),
+            n_skipped=best.n_skipped + jnp.where(ok, 0, 1).astype(jnp.int32),
+        )
+        return new_state, best, m
 
-        return jax.jit(guarded)
+    def epochs_fn(self, k: int) -> Callable:
+        """Jitted (state) -> (state, metrics) running ``k`` epochs in ONE
+        dispatch via ``lax.scan``.
+
+        TPU-native throughput feature with no reference counterpart (the
+        reference's epoch loop is a host-side ``for`` — case2/case2.jl:192):
+        on a tunnelled/remote accelerator the per-dispatch host→device
+        latency is the epoch-time floor once the on-chip work is a few ms,
+        so fusing k epochs into one program amortises it k-fold for the
+        reference's 10k–25k-epoch protocols. Metrics come back stacked with
+        a leading (k,) axis, so per-epoch history is preserved exactly.
+        """
+
+        def run(state: TrainState):
+            def body(s, _):
+                s, m = self._epoch(s)
+                return s, m
+
+            return jax.lax.scan(body, state, None, length=k)
+
+        return jax.jit(run)
+
+    def guarded_epochs_fn(self, k: int) -> Callable:
+        """k-epoch fused variant of guarded_epoch_fn: jitted
+        (state, best) -> (state, best, metrics stacked over k).
+
+        The divergence guard and on-device best-val carry fold INSIDE the
+        scan, so a non-finite epoch mid-chunk is discarded and the best
+        parameters are tracked at per-epoch granularity exactly as in the
+        single-dispatch path."""
+        def run(state: TrainState, best: BestState):
+            def body(carry, _):
+                s, b = carry
+                s, b, m = self._guarded_step(s, b)
+                return (s, b), m
+
+            (state2, best2), ms = jax.lax.scan(
+                body, (state, best), None, length=k)
+            return state2, best2, ms
+
+        return jax.jit(run)
 
     def fit(self, state: TrainState, n_epochs: int,
             callback: Optional[Callable] = None,
-            callback_every: int = 1) -> Tuple[TrainState, dict]:
+            callback_every: int = 1,
+            epochs_per_dispatch: int = 1) -> Tuple[TrainState, dict]:
         """Run n_epochs; callback(epoch, state, metrics) on the host every
-        ``callback_every`` epochs (the reference's cb/cbi layer)."""
-        step = self.epoch_fn()
+        ``callback_every`` epochs (the reference's cb/cbi layer).
+
+        ``epochs_per_dispatch`` > 1 runs epochs in fused chunks (one XLA
+        dispatch per chunk, see epochs_fn); callbacks then fire at chunk
+        boundaries with the final epoch's metrics."""
         history = {"loss_train": [], "loss_val": [], "grad_norm": []}
+        k = max(1, int(epochs_per_dispatch))
+        if k > 1:
+            step_k = self.epochs_fn(k)
+            done = 0
+            while done < n_epochs:
+                if n_epochs - done >= k:
+                    state, ms = step_k(state)
+                    ran = k
+                else:
+                    ran = n_epochs - done
+                    state, ms = self.epochs_fn(ran)(state)
+                lt, lv, gn = jax.device_get(
+                    (ms.loss_train, ms.loss_val, ms.grad_norm))
+                history["loss_train"].extend(float(x) for x in lt)
+                history["loss_val"].extend(float(x) for x in lv)
+                history["grad_norm"].extend(float(x) for x in gn)
+                done += ran
+                if callback is not None and (
+                        done % callback_every == 0 or done == n_epochs):
+                    last = jax.tree.map(lambda a: a[-1], ms)
+                    callback(done - 1, state, last)
+            return state, history
+        step = self.epoch_fn()
         for e in range(n_epochs):
             state, m = step(state)
             history["loss_train"].append(float(m.loss_train))
